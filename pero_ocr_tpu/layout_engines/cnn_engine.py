@@ -1,0 +1,473 @@
+"""CNN layout engine: full-page line + paragraph detection.
+
+Capability-equivalent to the reference engine
+(reference: pero_ocr/layout_engines/cnn_layout_engine.py:57-387):
+
+1. ParseNet maps at adaptive resolution;
+2. map post-processing (height dilation, smoothing, vertical NMS,
+   endpoint-weighted thresholding, connection dilation) — HERE fused
+   into one jitted XLA program (:func:`_postprocess_maps`) instead of
+   host scipy calls over full-page arrays;
+3. host-side connected components -> per-line baseline polylines with
+   point decimation and median heights;
+4. paragraph clustering via pairwise separator-map penalties ->
+   connected components;
+5. region polygons from alpha shapes with raster-based overlap
+   resolution.
+
+Plus LineFilterEngine: drops lines whose baseline orientation disagrees
+with the OrientationNet direction field (reference: :16-54).
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+from typing import List, Optional, Tuple
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.sparse import csr_matrix
+from scipy.sparse.csgraph import connected_components as graph_components
+
+from pero_ocr_tpu.core import geometry
+from pero_ocr_tpu.layout_engines import helpers
+from pero_ocr_tpu.layout_engines.parsenet_wrapper import (
+    OrientationNetWrapper,
+    ParseNetWrapper,
+)
+from pero_ocr_tpu.ops import morphology
+from pero_ocr_tpu.utils.timing import stage_timer
+
+logger = logging.getLogger(__name__)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("smooth", "vertical_connection_range"),
+)
+def _postprocess_maps(
+    out_map: jnp.ndarray,
+    detection_threshold: float,
+    line_end_weight: float,
+    smooth: bool = True,
+    vertical_connection_range: int = 5,
+):
+    """Fused map post-processing (reference: cnn_layout_engine.py:137-153).
+
+    Returns (baselines_mask, connected_mask, heights_map, separator_map)."""
+    heights_map = morphology.grey_dilation(
+        out_map[:, :, 0], 5, 1
+    ), morphology.grey_dilation(out_map[:, :, 1], 5, 1)
+    heights_map = jnp.stack(heights_map, axis=-1)
+
+    baselines = out_map[:, :, 2]
+    if smooth:
+        baselines = morphology.box_smooth(baselines, 3)
+    baselines = morphology.vertical_nonmaxima_suppression(baselines, 5)
+    baselines_mask = (
+        baselines - line_end_weight * out_map[:, :, 3]
+    ) > detection_threshold
+
+    # Vertical connection dilation: (range, 3) rectangular structure.
+    connected = (
+        jax.lax.reduce_window(
+            baselines_mask.astype(jnp.float32),
+            0.0,
+            jax.lax.max,
+            (vertical_connection_range, 3),
+            (1, 1),
+            "SAME",
+        )
+        > 0
+    )
+    separator = jnp.maximum(out_map[:, :, 4], 0.0)
+    return baselines_mask, connected, heights_map, separator
+
+
+class LayoutEngine:
+    def __init__(
+        self,
+        model_path: Optional[str] = None,
+        device=None,
+        downsample: int = 4,
+        max_mp: float = 5,
+        detection_threshold: float = 0.2,
+        adaptive_downsample: bool = True,
+        line_end_weight: float = 1.0,
+        vertical_line_connection_range: int = 5,
+        smooth_line_predictions: bool = True,
+        paragraph_line_threshold: float = 0.3,
+    ):
+        self.parsenet = ParseNetWrapper(
+            model_path,
+            downsample=downsample,
+            adaptive_downsample=adaptive_downsample,
+            max_mp=max_mp,
+            detection_threshold=detection_threshold,
+        )
+        self.line_end_weight = line_end_weight
+        self.vertical_line_connection_range = vertical_line_connection_range
+        self.smooth_line_predictions = smooth_line_predictions
+        self.line_detection_threshold = detection_threshold
+        self.adaptive_downsample = adaptive_downsample
+        self.paragraph_line_threshold = paragraph_line_threshold
+
+    # ------------------------------------------------------------------
+    def get_heights(self, heights_map, ds, inds):
+        """Re-estimate heights at given page coords (70th percentile,
+        reference: cnn_layout_engine.py:82-97)."""
+        inds = np.asarray(inds, dtype=float) / ds
+        y = np.clip(np.round(inds[:, 1]).astype(int), 0, heights_map.shape[0] - 1)
+        x = np.clip(np.round(inds[:, 0]).astype(int), 0, heights_map.shape[1] - 1)
+        pred = np.maximum(heights_map[y, x], 0)
+        return (
+            np.asarray(
+                [np.percentile(pred[:, 0], 70), np.percentile(pred[:, 1], 70)]
+            )
+            * ds
+        )
+
+    def detect(self, image: np.ndarray, rot: int = 0):
+        """Full detection: returns (polygons, baselines, heights, textlines)
+        in page coordinates (reference: cnn_layout_engine.py:99-124)."""
+        if rot > 0:
+            image = np.rot90(image, k=rot)
+
+        with stage_timer("parsenet_maps"):
+            maps, ds = self.parsenet.get_maps_with_optimal_resolution(image)
+
+        b_list, h_list, t_list = self.parse(maps, ds)
+        if not b_list:
+            return [], [], [], []
+
+        with stage_timer("paragraph_clustering"):
+            clusters = self.make_clusters(b_list, h_list, t_list, maps[:, :, 4], ds)
+        with stage_timer("region_polygons"):
+            p_list = self.clustered_lines_to_polygons(t_list, clusters)
+
+        b_list, h_list, t_list = helpers.order_lines_vertical(
+            b_list, h_list, t_list
+        )
+        p_list, b_list, t_list = self.rotate_layout(
+            p_list, b_list, t_list, rot, image.shape
+        )
+        return p_list, b_list, h_list, t_list
+
+    # ------------------------------------------------------------------
+    def parse(self, out_map: np.ndarray, downsample: float):
+        """Maps -> per-line baselines/heights/outlines
+        (reference: cnn_layout_engine.py:126-196)."""
+        with stage_timer("map_postprocess"):
+            baselines_mask, connected, heights_map, _ = jax.tree_util.tree_map(
+                np.asarray,
+                _postprocess_maps(
+                    jnp.asarray(out_map),
+                    self.line_detection_threshold,
+                    self.line_end_weight,
+                    smooth=self.smooth_line_predictions,
+                    vertical_connection_range=self.vertical_line_connection_range,
+                ),
+            )
+
+        labels_img, num = morphology.connected_components(connected)
+        labels_img = labels_img * baselines_mask
+
+        b_list: List[np.ndarray] = []
+        h_list: List[List[float]] = []
+
+        ys, xs = np.nonzero(labels_img > 0)
+        labels = labels_img[ys, xs]
+        order = np.argsort(labels, kind="stable")
+        ys, xs, labels = ys[order], xs[order], labels[order]
+        boundaries = np.searchsorted(labels, np.arange(1, num + 2))
+
+        for comp in range(num):
+            lo, hi = boundaries[comp], boundaries[comp + 1]
+            if hi - lo <= 5:
+                continue
+            comp_x = xs[lo:hi]
+            comp_y = ys[lo:hi]
+
+            # One point per unique x, ordered left to right.
+            ux, first_idx = np.unique(comp_x, return_index=True)
+            pos = np.stack([ux, comp_y[first_idx]], axis=1).astype(float)
+
+            target_points = max(min(10, pos.shape[0] // 10), 2)
+            sel = np.linspace(0, pos.shape[0] - 1, target_points).astype(int)
+            pos = pos[sel]
+            pos[0, 0] -= 2   # compensate endpoint-detector shrinkage
+            pos[-1, 0] += 2
+
+            hp = np.maximum(heights_map[comp_y, comp_x], 0)
+            heights = [
+                float(np.percentile(hp[:, 0], 50)),
+                float(np.percentile(hp[:, 1], 50)),
+            ]
+
+            b_list.append(downsample * pos)
+            h_list.append([downsample * heights[0], downsample * heights[1]])
+
+        # Order lines left to right (jittered for stability).
+        rng = np.random.default_rng(0)
+        keys = [b[:, 0].min() + 1e-4 * rng.random() for b in b_list]
+        order = sorted(range(len(b_list)), key=lambda i: keys[i])
+        b_list = [b_list[i] for i in order]
+        h_list = [h_list[i] for i in order]
+
+        t_list = [
+            helpers.baseline_to_textline(b, h) for b, h in zip(b_list, h_list)
+        ]
+        return b_list, h_list, t_list
+
+    # ------------------------------------------------------------------
+    def rotate_layout(self, p_list, b_list, t_list, rot, shape):
+        """Rotate coords back after multi-orientation detection
+        (reference: cnn_layout_engine.py:198-224)."""
+        if rot == 0:
+            return p_list, b_list, t_list
+
+        def tf(points):
+            points = np.asarray(points, dtype=float)
+            if rot == 1:
+                out = np.flip(points, axis=1).copy()
+                out[:, 0] = shape[0] - out[:, 0]
+            elif rot == 2:
+                out = np.asarray(shape[:2][::-1]) - points
+            else:  # rot == 3
+                out = np.flip(points, axis=1).copy()
+                out[:, 1] = shape[1] - out[:, 1]
+            return out
+
+        return (
+            [tf(p) for p in p_list],
+            [tf(b) for b in b_list],
+            [tf(t) for t in t_list],
+        )
+
+    # ------------------------------------------------------------------
+    def get_penalty(self, baseline, shift, x_1, x_2, sep_map, thickness=1):
+        """Mean separator-map mass along a shifted baseline within
+        [x_1, x_2] (reference: cnn_layout_engine.py:258-283)."""
+        b = np.round(np.asarray(baseline)).astype(np.int32)
+        b[:, 1] += int(round(shift))
+        x0 = int(np.amin(b[:, 0]))
+        x1s = int(round(x_1)) - x0
+        x2s = int(round(x_2)) - x0
+        crop = sep_map[
+            np.clip(np.amin(b[:, 1]) - thickness, 0, sep_map.shape[0] - 1):
+            np.clip(np.amax(b[:, 1]) + thickness + 1, 0, sep_map.shape[0] - 1),
+            np.amin(b[:, 0]): np.amax(b[:, 0]),
+        ]
+        if crop.size == 0:
+            return 1.0
+        b[:, 1] -= np.amin(b[:, 1]) - thickness
+        b[:, 0] -= x0
+        mask = np.zeros_like(crop)
+        try:
+            for i in range(b.shape[0] - 1):
+                cv2.line(
+                    mask, tuple(b[i]), tuple(b[i + 1]), color=1,
+                    thickness=2 * thickness + 1,
+                )
+        except Exception:
+            logger.warning("Paragraph penalty calculation failed.")
+            return 1.0
+        penalty_area = mask * crop
+        denom = max(x_2 - x_1, 1e-6)
+        return float(np.sum(penalty_area[:, max(x1s, 0):max(x2s, 0)]) / denom)
+
+    def get_pair_penalty(self, b1, b2, h1, h2, sep_map, ds):
+        """Separator penalty between two lines' facing edges
+        (reference: cnn_layout_engine.py:286-301)."""
+        x_overlap = max(
+            0,
+            min(np.amax(b1[:, 0]), np.amax(b2[:, 0]))
+            - max(np.amin(b1[:, 0]), np.amin(b2[:, 0])),
+        )
+        if x_overlap <= 5:
+            return 1.0
+        x_1 = int(max(np.amin(b1[:, 0]), np.amin(b2[:, 0])))
+        x_2 = int(min(np.amax(b1[:, 0]), np.amax(b2[:, 0])))
+        if np.average(b1[:, 1]) > np.average(b2[:, 1]):
+            p1 = self.get_penalty(b1 / ds, -h1[0] / ds, x_1 / ds, x_2 / ds, sep_map)
+            p2 = self.get_penalty(b2 / ds, h2[1] / ds, x_1 / ds, x_2 / ds, sep_map)
+        else:
+            p1 = self.get_penalty(b1 / ds, h1[1] / ds, x_1 / ds, x_2 / ds, sep_map)
+            p2 = self.get_penalty(b2 / ds, -h2[0] / ds, x_1 / ds, x_2 / ds, sep_map)
+        return abs(max(p1, p2))
+
+    def make_clusters(self, b_list, h_list, t_list, separator_map, ds):
+        """Cluster lines into paragraphs: candidate pairs by dilated-outline
+        overlap, edges where separator penalty is low, connected components
+        (reference: cnn_layout_engine.py:330-372)."""
+        n = len(t_list)
+        if n <= 1:
+            return [0] * n
+
+        min_pos = np.zeros((n, 2), np.float32)
+        max_pos = np.zeros((n, 2), np.float32)
+        dilated: List[np.ndarray] = []
+        for i, textline in enumerate(t_list):
+            tot_height = abs(textline[0, 1] - textline[-1, 1])
+            dilated.append(
+                geometry.buffer_polygon(textline, 3 * tot_height / 4)
+            )
+            min_pos[i] = textline.min(axis=0) - tot_height
+            max_pos[i] = textline.max(axis=0) + tot_height
+
+        disjoint = np.logical_and(
+            np.logical_or(
+                max_pos[:, None, 1] <= min_pos[None, :, 1],
+                min_pos[:, None, 1] >= max_pos[None, :, 1],
+            ),
+            np.logical_or(
+                max_pos[:, None, 0] <= min_pos[None, :, 0],
+                min_pos[:, None, 0] >= max_pos[None, :, 0],
+            ),
+        )
+        candidates = np.triu(np.logical_not(disjoint), k=1)
+
+        distances = np.ones((n, n))
+        for i, j in zip(*candidates.nonzero()):
+            if geometry.polygons_overlap(dilated[i], dilated[j]):
+                penalty = self.get_pair_penalty(
+                    b_list[i], b_list[j], h_list[i], h_list[j],
+                    separator_map, ds,
+                )
+                distances[i, j] = penalty
+                distances[j, i] = penalty
+
+        adjacency = (distances < self.paragraph_line_threshold).astype(int)
+        np.fill_diagonal(adjacency, 0)
+        _, clusters = graph_components(
+            csgraph=csr_matrix(adjacency > 0), directed=False, return_labels=True
+        )
+        return clusters
+
+    # ------------------------------------------------------------------
+    def filter_polygons(self, polygons, region_textlines):
+        """Resolve region overlaps: drop contained regions; assign the
+        overlap of partially intersecting regions to the one with more
+        textline mass inside it (raster-based reimplementation of
+        reference: cnn_layout_engine.py:228-255)."""
+        keep = [True] * len(polygons)
+        polygons = [np.asarray(p, dtype=float) for p in polygons]
+
+        for i in range(len(polygons)):
+            for j in range(i + 1, len(polygons)):
+                if not (keep[i] and keep[j]):
+                    continue
+                inter = geometry.polygon_intersection_area(polygons[i], polygons[j])
+                if inter < 1.0:
+                    continue
+                area_i = abs(geometry.polygon_area(polygons[i]))
+                area_j = abs(geometry.polygon_area(polygons[j]))
+                if inter >= 0.98 * area_j:
+                    keep[j] = False
+                    continue
+                if inter >= 0.98 * area_i:
+                    keep[i] = False
+                    continue
+                # Partial overlap: winner keeps its polygon, loser shrinks.
+                inter_poly = geometry.polygon_intersection(
+                    polygons[i], polygons[j]
+                )
+                if inter_poly is None:
+                    continue
+                score_i = sum(
+                    geometry.polygon_intersection_area(np.asarray(t), inter_poly)
+                    for t in region_textlines[i]
+                )
+                score_j = sum(
+                    geometry.polygon_intersection_area(np.asarray(t), inter_poly)
+                    for t in region_textlines[j]
+                )
+                loser = j if score_i > score_j else i
+                shrunk = _subtract_polygon(polygons[loser], inter_poly)
+                if shrunk is None:
+                    keep[loser] = False
+                else:
+                    polygons[loser] = shrunk
+
+        return [p for p, k in zip(polygons, keep) if k]
+
+    def clustered_lines_to_polygons(self, t_list, clusters):
+        """Alpha-shape polygon per cluster, overlap-filtered and simplified
+        (reference: cnn_layout_engine.py:301-328)."""
+        regions_textlines = []
+        polygons = []
+        for c in range(int(np.amax(clusters)) + 1):
+            cluster_lines = [
+                t for t, cl in zip(t_list, clusters) if cl == c
+            ]
+            polygons.append(helpers.region_from_textlines(cluster_lines))
+            regions_textlines.append(cluster_lines)
+        polygons = self.filter_polygons(polygons, regions_textlines)
+        return [
+            geometry.simplify_polygon(p, 5) for p in polygons if len(p) >= 3
+        ]
+
+
+def _subtract_polygon(poly: np.ndarray, sub: np.ndarray) -> Optional[np.ndarray]:
+    """poly minus sub via rasterization; returns the largest remaining
+    piece or None."""
+    x0, y0, w, h = geometry._raster_frame(poly, sub)
+    mask = geometry.rasterize_polygon(poly, (x0, y0), (h, w))
+    mask_sub = geometry.rasterize_polygon(sub, (x0, y0), (h, w))
+    remaining = (mask & ~mask_sub).astype(np.uint8)
+    if not remaining.any():
+        return None
+    contours, _ = cv2.findContours(
+        remaining, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE
+    )
+    if not contours:
+        return None
+    largest = max(contours, key=cv2.contourArea)
+    out = largest.reshape(-1, 2).astype(float) + [x0, y0]
+    return out if len(out) >= 3 else None
+
+
+class LineFilterEngine:
+    """Drops lines whose baseline angle disagrees with the OrientationNet
+    direction field by more than pi/4; horizontal lines always pass
+    (reference: cnn_layout_engine.py:16-54)."""
+
+    def __init__(self, model_path=None, device=None, downsample=4, max_mp=5):
+        self.tiltnet = OrientationNetWrapper(model_path, max_mp=max_mp)
+        self.downsample = downsample
+        self.predictions: Optional[np.ndarray] = None
+
+    @staticmethod
+    def get_angle_diff(angle_1, angle_2):
+        smaller = np.minimum(angle_1, angle_2)
+        larger = np.maximum(angle_1, angle_2)
+        return np.minimum(
+            np.abs(larger - smaller), np.abs(larger - (smaller + 2 * np.pi))
+        )
+
+    def predict_directions(self, image):
+        self.predictions = self.tiltnet.get_maps(image, self.downsample)
+
+    def check_line_rotation(self, polygon, baseline):
+        target_angle = np.arctan2(
+            baseline[0, 1] - baseline[-1, 1], baseline[-1, 0] - baseline[0, 0]
+        )
+        # Horizontal lines are always kept.
+        if -np.pi / 4 < target_angle < np.pi / 4:
+            return True
+
+        mask = geometry.rasterize_polygon(
+            np.asarray(polygon, dtype=float) / self.downsample,
+            (0, 0),
+            self.predictions.shape[:2],
+        )
+        inside = mask > 0
+        if not inside.any():
+            return True
+        predicted_x = np.median(self.predictions[:, :, 0][inside])
+        predicted_y = np.median(self.predictions[:, :, 1][inside])
+        predicted_angle = np.arctan2(predicted_y, predicted_x)
+        return self.get_angle_diff(predicted_angle, target_angle) < np.pi / 4

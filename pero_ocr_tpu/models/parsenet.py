@@ -1,0 +1,126 @@
+"""ParseNet: the layout-detection CNN, TPU-native.
+
+Produces the same 5-channel output map contract as the reference's
+TorchScript ParseNet binary (channel semantics documented at
+reference: pero_ocr/layout_engines/cnn_layout_engine.py:128-133 and
+line_in_region_detector.py:13-15):
+
+    0: ascender height regression (px, at map resolution)
+    1: descender height regression
+    2: baseline probability
+    3: line-endpoint probability
+    4: region-separator probability
+
+plus OrientationNet, a small CNN emitting per-pixel (x, y) text-direction
+vectors (reference: torch_parsenet.py:105-127).
+
+Architecture (ours, TPU-first): a U-Net with stride-2 conv downsampling
+x4 and transposed-conv upsampling with skip connections.  All convs run
+in bfloat16 with float32 params/outputs; channel counts are multiples of
+8 to map onto VPU/MXU lanes.  Heights are regressed with softplus (>=0);
+probability channels are emitted as probabilities in [0, 1]
+(sigmoid-activated) to match the reference maps' value range.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class ConvBlock(nn.Module):
+    features: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.features, (3, 3), dtype=self.dtype)(x)
+        x = nn.GroupNorm(num_groups=min(8, self.features), dtype=self.dtype)(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.features, (3, 3), dtype=self.dtype)(x)
+        x = nn.GroupNorm(num_groups=min(8, self.features), dtype=self.dtype)(x)
+        return nn.relu(x)
+
+
+class ParseNet(nn.Module):
+    """U-Net emitting the 5-channel layout map stack."""
+
+    base_features: int = 32
+    depth: int = 4
+    out_channels: int = 5
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
+        """images: (N, H, W, 3) float32 in [0, 1]; H, W multiples of 2**depth.
+
+        Returns (N, H, W, 5) float32 maps."""
+        x = images.astype(self.dtype)
+        skips = []
+        features = self.base_features
+        for _ in range(self.depth):
+            x = ConvBlock(features, dtype=self.dtype)(x)
+            skips.append(x)
+            x = nn.Conv(features, (3, 3), strides=(2, 2), dtype=self.dtype)(x)
+            features *= 2
+
+        x = ConvBlock(features, dtype=self.dtype)(x)
+
+        for skip in reversed(skips):
+            features //= 2
+            x = nn.ConvTranspose(
+                features, (2, 2), strides=(2, 2), dtype=self.dtype
+            )(x)
+            x = jnp.concatenate([x, skip], axis=-1)
+            x = ConvBlock(features, dtype=self.dtype)(x)
+
+        x = nn.Conv(self.out_channels, (1, 1), dtype=jnp.float32)(x)
+        x = x.astype(jnp.float32)
+        heights = jax.nn.softplus(x[..., :2])
+        probs = jax.nn.sigmoid(x[..., 2:])
+        return jnp.concatenate([heights, probs], axis=-1)
+
+
+class OrientationNet(nn.Module):
+    """Per-pixel text-direction (x, y) unit-vector map."""
+
+    base_features: int = 16
+    depth: int = 3
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
+        x = images.astype(self.dtype)
+        features = self.base_features
+        skips = []
+        for _ in range(self.depth):
+            x = ConvBlock(features, dtype=self.dtype)(x)
+            skips.append(x)
+            x = nn.Conv(features, (3, 3), strides=(2, 2), dtype=self.dtype)(x)
+            features *= 2
+        x = ConvBlock(features, dtype=self.dtype)(x)
+        for skip in reversed(skips):
+            features //= 2
+            x = nn.ConvTranspose(features, (2, 2), strides=(2, 2), dtype=self.dtype)(x)
+            x = jnp.concatenate([x, skip], axis=-1)
+            x = ConvBlock(features, dtype=self.dtype)(x)
+        # Raw (x, y) direction components; consumers take arctan2 of the
+        # channels, so magnitude carries no meaning (reference contract:
+        # cnn_layout_engine.py:35-54).
+        return nn.Conv(2, (1, 1), dtype=jnp.float32)(x).astype(jnp.float32)
+
+
+def pad_to_multiple(image, multiple: int = 16):
+    """Pad H, W up to a multiple (host-side helper for static shapes).
+    Returns (padded, (orig_h, orig_w))."""
+    import numpy as np
+
+    h, w = image.shape[:2]
+    ph = (multiple - h % multiple) % multiple
+    pw = (multiple - w % multiple) % multiple
+    if ph or pw:
+        image = np.pad(image, ((0, ph), (0, pw), (0, 0)), mode="edge")
+    return image, (h, w)

@@ -1,0 +1,104 @@
+"""Autoregressive transformer line-OCR engine.
+
+Equivalent of the reference's transformer engine
+(reference: pero_ocr/ocr_engine/transformer_ocr_engine.py:13-110), with
+the greedy AR loop compiled as a single ``lax.scan``
+(:func:`pero_ocr_tpu.models.transformer.greedy_decode`) instead of a
+Python ``while`` loop with one device round trip per token.  The decode
+length cap is width/4 as in the reference (:78-81).
+
+Per-step logits over the charset are returned per OUTPUT CHARACTER (the
+transformer produces one frame per char; logit_coords span = transcript
+length, reference: line_ocr_engine.py:160-166 transformer branch).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pero_ocr_tpu.models.transformer import (
+    TransformerOCR,
+    TransformerSpec,
+    greedy_decode,
+)
+from pero_ocr_tpu.ocr.line_ocr_engine import BaseEngineLineOCR
+from pero_ocr_tpu.utils.checkpoint import load_or_init
+
+
+class TransformerEngineLineOCR(BaseEngineLineOCR):
+    def __init__(self, json_def: str, device=None, batch_size: int = 16):
+        super().__init__(json_def, batch_size=batch_size, model_type="transformer")
+
+        self.spec = TransformerSpec.from_json_dict(
+            self.config, num_classes=len(self.characters)
+        )
+        self.net_subsampling = self.spec.subsampling
+        self.model = TransformerOCR(self.spec)
+
+        def init_fn():
+            rng = jax.random.PRNGKey(0)
+            dummy = jnp.zeros((1, self.line_px_height, 128, 3), jnp.float32)
+            targets = jnp.zeros((1, 4), jnp.int32)
+            return self.model.init(rng, dummy, targets)
+
+        self.variables = load_or_init(
+            self.checkpoint, init_fn, name="transformer OCR"
+        )
+
+        self._decode = functools.lru_cache(maxsize=8)(self._make_decode_fn)
+
+    def _make_decode_fn(self, max_len: int):
+        """One compiled decode program per (bucketed) max decode length."""
+
+        @jax.jit
+        def run(batch):
+            images = batch.astype(jnp.float32) / 255.0
+            tokens, lengths = greedy_decode(
+                self.model, self.variables, images, max_len
+            )
+            # Per-step logits for confidence: re-run teacher-forced with the
+            # decoded tokens (one pass, fully batched).
+            sp = self.spec
+            bos = jnp.full((tokens.shape[0], 1), sp.bos_id, jnp.int32)
+            prefixed = jnp.concatenate([bos, tokens[:, :-1]], axis=1)
+            memory = self.model.apply(
+                self.variables, images, method=TransformerOCR.encode
+            )
+            logits = self.model.apply(
+                self.variables, memory, prefixed,
+                method=TransformerOCR.decode_train,
+            )
+            return tokens, lengths, logits
+
+        return run
+
+    def run_ocr(
+        self, batch_data: np.ndarray, widths: np.ndarray
+    ) -> Tuple[List[str], List[np.ndarray]]:
+        # Runaway cap: width / 4 tokens (reference:
+        # transformer_ocr_engine.py:78-81), bounded by the spec maximum.
+        max_len = int(min(batch_data.shape[2] // 4, self.spec.max_decode_len))
+        max_len = max(max_len, 8)
+        tokens, lengths, logits = self._decode(max_len)(jnp.asarray(batch_data))
+        tokens = np.asarray(tokens)
+        lengths = np.asarray(lengths)
+        logits = np.asarray(logits)  # (B, max_len, vocab)
+
+        transcriptions: List[str] = []
+        out_logits: List[np.ndarray] = []
+        for i in range(len(batch_data)):
+            n = int(lengths[i])
+            ids = tokens[i, :n]
+            text = "".join(
+                self.characters[t] for t in ids if t < len(self.characters)
+            )
+            transcriptions.append(text)
+            # Keep only charset columns so downstream logits consumers see
+            # (chars + implicit blank-free) scores; pad col for specials.
+            out_logits.append(logits[i, :n, : len(self.characters) + 1])
+        return transcriptions, out_logits

@@ -1,0 +1,180 @@
+"""Batched bilinear line-crop warp (device-side).
+
+Replaces the reference's per-line host ``cv2.remap`` calls
+(reference: pero_ocr/core/crop_engine.py:146-163) with ONE batched
+gather over the page tensor for all lines of a page: the host builds
+per-line warp fields (see :mod:`pero_ocr_tpu.core.line_geometry`), pads
+them into a (N, H, Wmax, 2) tensor at a bucketed width, and the device
+performs a single vectorized bilinear gather producing (N, H, Wmax, C)
+crops.
+
+Border semantics match ``cv2.remap(..., BORDER_CONSTANT)``: samples
+whose bilinear neighbors fall outside the image read 0 for those
+neighbors.
+
+Two implementations:
+- :func:`warp_lines_xla` — pure XLA gather (works everywhere, fast on TPU
+  because XLA lowers it to dynamic-gather with good VMEM tiling).
+- :func:`warp_lines_pallas` — Pallas TPU kernel that tiles the gather over
+  lines x width blocks, for the production TPU path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _bilinear_gather(image: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample `image` (H, W, C) at `coords` (..., 2) of x,y floats.
+
+    Out-of-bounds neighbor pixels contribute 0 (BORDER_CONSTANT).
+    """
+    h, w = image.shape[0], image.shape[1]
+    x = coords[..., 0]
+    y = coords[..., 1]
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def tap(yi, xi):
+        valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        yc = jnp.clip(yi, 0, h - 1)
+        xc = jnp.clip(xi, 0, w - 1)
+        vals = image[yc, xc]  # advanced indexing -> gather
+        return jnp.where(valid[..., None], vals, 0.0)
+
+    v00 = tap(y0i, x0i)
+    v01 = tap(y0i, x0i + 1)
+    v10 = tap(y0i + 1, x0i)
+    v11 = tap(y0i + 1, x0i + 1)
+
+    top = v00 * (1.0 - fx) + v01 * fx
+    bottom = v10 * (1.0 - fx) + v11 * fx
+    return top * (1.0 - fy) + bottom * fy
+
+
+@functools.partial(jax.jit, static_argnames=())
+def warp_lines_xla(image: jnp.ndarray, fields: jnp.ndarray) -> jnp.ndarray:
+    """Warp all lines of a page in one call.
+
+    Args:
+        image: (H, W, C) page tensor, float32 (or uint8, promoted).
+        fields: (N, Hc, Wc, 2) per-line source-coordinate maps (x, y);
+            padded columns should carry coordinates far outside the image
+            (they then sample 0).
+
+    Returns:
+        (N, Hc, Wc, C) float32 crops.
+    """
+    img = image.astype(jnp.float32)
+    return jax.vmap(lambda f: _bilinear_gather(img, f))(fields)
+
+
+def pad_fields(
+    fields: Sequence[np.ndarray], width_bucket: int, pad_coord: float = -1e6
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Stack variable-width warp fields into a (N, Hc, Wb, 2) tensor.
+
+    Pads the width dimension up to the bucket with `pad_coord` so padded
+    columns sample the zero border.  Returns (stacked, widths).
+    """
+    n = len(fields)
+    hc = fields[0].shape[0]
+    out = np.full((n, hc, width_bucket, 2), pad_coord, dtype=np.float32)
+    widths = np.zeros(n, dtype=np.int32)
+    for i, f in enumerate(fields):
+        wi = min(f.shape[1], width_bucket)
+        out[i, :, :wi] = f[:, :wi]
+        widths[i] = wi
+    return out, widths
+
+
+def width_buckets(
+    widths: Sequence[int], buckets: Sequence[int]
+) -> List[List[int]]:
+    """Group line indices by the smallest bucket that fits their width.
+
+    Lines wider than the largest bucket land in the largest bucket (and
+    will be cropped); bucketing bounds the number of distinct compiled
+    shapes (SURVEY.md §7 bucketing policy)."""
+    buckets = sorted(buckets)
+    groups: List[List[int]] = [[] for _ in buckets]
+    for idx, w in enumerate(widths):
+        placed = False
+        for bi, b in enumerate(buckets):
+            if w <= b:
+                groups[bi].append(idx)
+                placed = True
+                break
+        if not placed:
+            groups[-1].append(idx)
+    return groups
+
+
+# ----------------------------------------------------------------------
+# Pallas TPU kernel
+# ----------------------------------------------------------------------
+def _warp_kernel(img_ref, field_ref, out_ref):
+    """One grid step warps one line's (Hc, Wb) block.
+
+    The page image stays resident in VMEM (grid-invariant block); the
+    gather is expressed as dynamic indexing over the flattened page.
+    """
+    h, w, c = img_ref.shape
+    coords = field_ref[0]  # (Hc, Wb, 2)
+    x = coords[..., 0]
+    y = coords[..., 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    img_flat = img_ref[...].reshape(h * w, c)
+
+    def tap(yi, xi):
+        valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        yc = jnp.clip(yi, 0, h - 1)
+        xc = jnp.clip(xi, 0, w - 1)
+        flat_idx = yc * w + xc
+        vals = jnp.take(img_flat, flat_idx, axis=0)
+        return jnp.where(valid[..., None], vals, 0.0)
+
+    top = tap(y0i, x0i) * (1.0 - fx) + tap(y0i, x0i + 1) * fx
+    bot = tap(y0i + 1, x0i) * (1.0 - fx) + tap(y0i + 1, x0i + 1) * fx
+    out_ref[0] = top * (1.0 - fy) + bot * fy
+
+
+def warp_lines_pallas(image: jnp.ndarray, fields: jnp.ndarray) -> jnp.ndarray:
+    """Pallas TPU variant of :func:`warp_lines_xla`.
+
+    Grid over lines; the page image is a grid-invariant VMEM block.  For
+    pages too large for VMEM, callers should tile the page or use the XLA
+    path (XLA keeps the page in HBM and streams gathers)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, hc, wb, _ = fields.shape
+    img = image.astype(jnp.float32)
+    h, w, c = img.shape
+
+    return pl.pallas_call(
+        _warp_kernel,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((h, w, c), lambda i: (0, 0, 0), memory_space=pltpu.ANY),
+            pl.BlockSpec((1, hc, wb, 2), lambda i: (i, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, hc, wb, c), lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, hc, wb, c), jnp.float32),
+    )(img, fields)

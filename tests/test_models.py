@@ -1,0 +1,153 @@
+"""Model smoke + contract tests (tiny shapes, CPU backend)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pero_ocr_tpu.models.charlm import CharLM, CharLMSpec, sequence_logprobs, state_select
+from pero_ocr_tpu.models.parsenet import OrientationNet, ParseNet
+from pero_ocr_tpu.models.recognizer import CTCRecognizer, RecognizerSpec
+from pero_ocr_tpu.models.transformer import (
+    TransformerOCR,
+    TransformerSpec,
+    greedy_decode,
+)
+
+TINY_PARSENET = dict(base_features=4, depth=2)
+TINY_REC = RecognizerSpec(
+    num_classes=10, line_height=16, conv_features=(4, 8),
+    subsampling=2, lstm_layers=1, lstm_features=8,
+)
+TINY_TRANS = TransformerSpec(
+    num_classes=10, line_height=16, conv_features=(4, 8), subsampling=2,
+    d_model=16, num_heads=2, encoder_layers=1, decoder_layers=1,
+    mlp_dim=32, max_decode_len=8,
+)
+
+
+class TestParseNet:
+    def test_output_shape_and_ranges(self):
+        model = ParseNet(**TINY_PARSENET)
+        x = jnp.zeros((1, 32, 32, 3))
+        params = model.init(jax.random.PRNGKey(0), x)
+        out = model.apply(params, x)
+        assert out.shape == (1, 32, 32, 5)
+        out = np.asarray(out)
+        assert np.all(out[..., :2] >= 0)          # heights nonneg
+        assert np.all((out[..., 2:] >= 0) & (out[..., 2:] <= 1))  # probs
+
+    def test_orientation_net_direction_map(self):
+        model = OrientationNet(base_features=4, depth=2)
+        x = jax.random.uniform(jax.random.PRNGKey(42), (1, 16, 16, 3))
+        params = model.init(jax.random.PRNGKey(0), x)
+        out = np.asarray(model.apply(params, x))
+        assert out.shape == (1, 16, 16, 2)
+        assert np.isfinite(out).all()
+
+
+class TestCTCRecognizer:
+    def test_subsampling_and_classes(self):
+        model = CTCRecognizer(TINY_REC)
+        x = jnp.zeros((2, 16, 64, 3))
+        params = model.init(jax.random.PRNGKey(0), x)
+        logits = model.apply(params, x)
+        assert logits.shape == (2, 32, 10)  # width / subsampling, classes
+
+    def test_writer_embedding(self):
+        spec = RecognizerSpec(
+            num_classes=10, line_height=16, conv_features=(4, 8),
+            subsampling=2, lstm_layers=1, lstm_features=8,
+            embed_num=4, embed_dim=4,
+        )
+        model = CTCRecognizer(spec)
+        x = jnp.zeros((2, 16, 32, 3))
+        params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((2,), jnp.int32))
+        l0 = model.apply(params, x, jnp.array([0, 0]))
+        l1 = model.apply(params, x, jnp.array([1, 1]))
+        assert not np.allclose(np.asarray(l0), np.asarray(l1))
+
+    def test_spec_from_json(self):
+        cfg = {"line_px_height": 40, "embed_num": 3,
+               "net_spec": {"lstm_layers": 3, "subsampling": 8}}
+        spec = RecognizerSpec.from_json_dict(cfg, num_classes=50)
+        assert spec.line_height == 40
+        assert spec.lstm_layers == 3
+        assert spec.subsampling == 8
+        assert spec.embed_num == 3
+        assert spec.num_classes == 50
+
+
+class TestTransformerOCR:
+    def test_train_forward(self):
+        model = TransformerOCR(TINY_TRANS)
+        x = jnp.zeros((2, 16, 32, 3))
+        targets = jnp.zeros((2, 5), jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), x, targets)
+        logits = model.apply(params, x, targets)
+        assert logits.shape == (2, 5, TINY_TRANS.vocab)
+
+    def test_greedy_decode_matches_teacher_forcing(self):
+        """Cached step-decode must reproduce the teacher-forced argmax path."""
+        model = TransformerOCR(TINY_TRANS)
+        rng = jax.random.PRNGKey(1)
+        x = jax.random.uniform(rng, (2, 16, 32, 3))
+        targets = jnp.zeros((2, 5), jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), x, targets)
+
+        tokens, lengths = greedy_decode(model, params, x, max_len=6)
+        tokens = np.asarray(tokens)
+        assert tokens.shape == (2, 6)
+
+        # Replay through teacher forcing: feeding BOS + decoded tokens must
+        # produce the same argmax sequence (up to EOS).
+        sp = TINY_TRANS
+        bos_prefixed = np.concatenate(
+            [np.full((2, 1), sp.bos_id), tokens[:, :-1]], axis=1
+        )
+        memory = model.apply(params, x, method=TransformerOCR.encode)
+        tf_logits = model.apply(
+            params, memory, jnp.asarray(bos_prefixed),
+            method=TransformerOCR.decode_train,
+        )
+        tf_argmax = np.asarray(jnp.argmax(tf_logits, -1))
+        for i in range(2):
+            n = int(np.asarray(lengths)[i])
+            np.testing.assert_array_equal(tf_argmax[i, :n], tokens[i, :n])
+
+
+class TestCharLM:
+    def test_advance_and_logprobs(self):
+        spec = CharLMSpec(vocab_size=12, embed_dim=4, hidden_dim=8, num_layers=2)
+        model = CharLM(spec)
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 1), jnp.int32))
+        state = model.apply(variables, 3, method=CharLM.initial_state)
+        state = model.apply(variables, jnp.array([1, 2, 3]), state, method=CharLM.advance)
+        lp = model.apply(variables, state, method=CharLM.log_probs)
+        assert lp.shape == (3, 12)
+        np.testing.assert_allclose(np.exp(np.asarray(lp)).sum(-1), 1.0, atol=1e-4)
+
+    def test_sequence_logprobs(self):
+        spec = CharLMSpec(vocab_size=12, embed_dim=4, hidden_dim=8, num_layers=1)
+        model = CharLM(spec)
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 1), jnp.int32))
+        tokens = jnp.array([[1, 2, 3, 4]], jnp.int32)
+        out = sequence_logprobs(model, variables, tokens)
+        assert out.shape == (1, 4, 12)
+
+        # Must agree with stepwise advance.
+        state = model.apply(variables, 1, method=CharLM.initial_state)
+        state = model.apply(variables, jnp.array([1]), state, method=CharLM.advance)
+        lp0 = model.apply(variables, state, method=CharLM.log_probs)
+        np.testing.assert_allclose(np.asarray(out[0, 0]), np.asarray(lp0[0]), atol=1e-5)
+
+    def test_state_select(self):
+        spec = CharLMSpec(vocab_size=5, embed_dim=2, hidden_dim=4, num_layers=1)
+        model = CharLM(spec)
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 1), jnp.int32))
+        state = model.apply(variables, 4, method=CharLM.initial_state)
+        state = model.apply(variables, jnp.array([0, 1, 2, 3]), state, method=CharLM.advance)
+        sub = state_select(state, jnp.array([2, 0]))
+        np.testing.assert_allclose(
+            np.asarray(sub[0][1][0]), np.asarray(state[0][1][2])
+        )
