@@ -290,13 +290,19 @@ def mask_polyline_by_polygon(
 
     pieces: List[np.ndarray] = []
     if best_start > 0:
-        cuts = segment_polygon_intersections(line[best_start - 1], line[best_start], polygon)
+        entry = line[best_start]
+        cuts = segment_polygon_intersections(line[best_start - 1], entry, polygon)
+        # Ignore cuts at the inside endpoint itself (it may lie exactly on
+        # the polygon boundary); keep the last true boundary crossing.
+        cuts = cuts[np.hypot(*(cuts - entry[None, :]).T) > 1e-6]
         if len(cuts):
             pieces.append(cuts[-1:][:, :2])
     pieces.append(seg)
     end = best_start + best_len
     if end < len(line):
-        cuts = segment_polygon_intersections(line[end - 1], line[end], polygon)
+        exit_pt = line[end - 1]
+        cuts = segment_polygon_intersections(exit_pt, line[end], polygon)
+        cuts = cuts[np.hypot(*(cuts - exit_pt[None, :]).T) > 1e-6]
         if len(cuts):
             pieces.append(cuts[:1][:, :2])
     return np.concatenate(pieces, axis=0)

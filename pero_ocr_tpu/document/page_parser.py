@@ -1,0 +1,685 @@
+"""Pipeline orchestration: PageParser and its stage adapters.
+
+API-compatible with the reference orchestration
+(reference: pero_ocr/document_ocr/page_parser.py:29-531): the same
+factory dispatch on ``METHOD`` config keys, the same
+``process_page(image, page_layout) -> page_layout`` stage protocol, the
+same ``[PAGE_PARSER]`` RUN_* flags.
+
+TPU-first deltas:
+- ``LineCropper`` warps ALL lines of a page in one batched device gather
+  per width bucket (:mod:`pero_ocr_tpu.ops.warp`) instead of per-line
+  host remaps; small pages fall back to the host path.
+- ``PageOCR`` drives the bucketed-batch engines whose forward+greedy
+  decode is one jitted program.
+- per-stage structured timing via :mod:`pero_ocr_tpu.utils.timing`.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from pero_ocr_tpu.core import crop_engine as cropper
+from pero_ocr_tpu.core import line_geometry
+from pero_ocr_tpu.core.layout import PageLayout, RegionLayout, TextLine
+from pero_ocr_tpu.layout_engines import helpers
+from pero_ocr_tpu.layout_engines.baseline_refiner import refine_baseline
+from pero_ocr_tpu.layout_engines.cnn_engine import LayoutEngine, LineFilterEngine
+from pero_ocr_tpu.layout_engines.line_in_region_detector import detect_lines_in_region
+from pero_ocr_tpu.layout_engines.line_postprocessing_engine import PostprocessingEngine
+from pero_ocr_tpu.layout_engines.naive_sorter import NaiveRegionSorter
+from pero_ocr_tpu.layout_engines.simple_baseline_engine import EngineLineDetectorSimple
+from pero_ocr_tpu.layout_engines.simple_region_engine import SimpleThresholdRegion
+from pero_ocr_tpu.layout_engines.smart_sorter import SmartRegionSorter
+from pero_ocr_tpu.utils.paths import compose_path
+from pero_ocr_tpu.utils.timing import stage_timer
+
+logger = logging.getLogger(__name__)
+
+
+# ----------------------------------------------------------------------
+# Factories (reference: page_parser.py:29-74)
+# ----------------------------------------------------------------------
+def layout_parser_factory(config, device=None, config_path="", order=1):
+    section = config[f"LAYOUT_PARSER_{order}"]
+    method = section["METHOD"]
+    if method == "REGION_WHOLE_PAGE":
+        return WholePageRegion(section, config_path=config_path)
+    if method == "REGION_SIMPLE_THRESHOLD":
+        return SimpleThresholdRegion(section, config_path=config_path)
+    if method == "LAYOUT_CNN":
+        return LayoutExtractor(section, device, config_path=config_path)
+    if method == "LINES_SIMPLE_THRESHOLD":
+        return TextlineExtractorSimple(section, config_path=config_path)
+    if method == "LINE_FILTER":
+        return LineFilter(section, device, config_path=config_path)
+    if method == "LINE_POSTPROCESSING":
+        return LinePostprocessor(section, config_path=config_path)
+    if method == "LAYOUT_POSTPROCESSING":
+        return LayoutPostprocessor(section, config_path=config_path)
+    if method == "REGION_SORTER_NAIVE":
+        return NaiveRegionSorter(section, config_path=config_path)
+    if method == "REGION_SORTER_SMART":
+        return SmartRegionSorter(section, config_path=config_path)
+    raise ValueError(f"Unknown layout parser method: {method}")
+
+
+def line_cropper_factory(config, config_path=""):
+    return LineCropper(config["LINE_CROPPER"], config_path=config_path)
+
+
+def ocr_factory(config, device=None, config_path=""):
+    return PageOCR(config["OCR"], device, config_path=config_path)
+
+
+def page_decoder_factory(config, device=None, config_path=""):
+    from pero_ocr_tpu.decoding import itf
+
+    ocr_chars = itf.get_ocr_charset(
+        compose_path(config["OCR"]["OCR_JSON"], config_path)
+    )
+    decoder = itf.decoder_factory(
+        config["DECODER"], ocr_chars, device,
+        allow_no_decoder=False, config_path=config_path,
+    )
+    confidence_threshold = config["DECODER"].getfloat(
+        "CONFIDENCE_THRESHOLD", fallback=math.inf
+    )
+    carry_h_over = config["DECODER"].getboolean("CARRY_H_OVER", fallback=False)
+    return PageDecoder(
+        decoder,
+        line_confidence_threshold=confidence_threshold,
+        carry_h_over=carry_h_over,
+    )
+
+
+# ----------------------------------------------------------------------
+# Confidence helpers (reference: page_parser.py:78-96, :434-456)
+# ----------------------------------------------------------------------
+class MissingLogits(Exception):
+    pass
+
+
+def line_confident_enough(logits: np.ndarray, confidence_threshold: float) -> bool:
+    log_probs = logits - np.logaddexp.reduce(logits, axis=1)[:, np.newaxis]
+    worst_best_prob = np.exp(np.min(np.max(log_probs, axis=-1)))
+    return worst_best_prob > confidence_threshold
+
+
+def prepare_dense_logits(line: TextLine) -> np.ndarray:
+    if line.logits is None:
+        raise MissingLogits(f"Line {line.id} has {line.logits} in place of logits")
+    return line.get_full_logprobs()
+
+
+def get_prob(best_ids: np.ndarray, best_probs: np.ndarray) -> float:
+    """Worst per-character best probability over greedy runs
+    (reference: page_parser.py:437-450)."""
+    last_id = -1
+    last_prob = 1.0
+    worst_prob = 1.0
+    for sym, prob in zip(best_ids, best_probs):
+        if sym != last_id:
+            worst_prob = min(worst_prob, last_prob)
+            last_prob = prob
+            last_id = sym
+        else:
+            last_prob = max(prob, last_prob)
+    return min(worst_prob, last_prob)
+
+
+# ----------------------------------------------------------------------
+# Stage adapters
+# ----------------------------------------------------------------------
+class WholePageRegion:
+    """Single region covering the whole page
+    (reference: page_parser.py:159-171)."""
+
+    def __init__(self, config=None, config_path=""):
+        pass
+
+    def process_page(self, img, page_layout: PageLayout) -> PageLayout:
+        h, w = page_layout.page_size
+        corners = np.asarray([[0, 0], [w, 0], [w, h], [0, h]])
+        page_layout.regions = [RegionLayout("r1", corners)]
+        return page_layout
+
+
+class TextlineExtractorSimple:
+    """Classical line detection in existing regions
+    (reference: page_parser.py:174-199)."""
+
+    def __init__(self, config, config_path=""):
+        self.engine = EngineLineDetectorSimple(
+            adaptive_threshold=config.getint("ADAPTIVE_THRESHOLD", fallback=91),
+            block_size=config.getint("BLOCK_SIZE", fallback=21),
+            minimum_length=config.getint("MINIMUM_LENGTH", fallback=6),
+            ignored_border_pixels=config.getint(
+                "IGNORED_BORDER_PIXELS", fallback=10
+            ),
+        )
+
+    def process_page(self, img, page_layout: PageLayout) -> PageLayout:
+        for region in page_layout.regions:
+            b_list, h_list, t_list = self.engine.detect_lines(img, region.polygon)
+            for i, (baseline, heights, textline) in enumerate(
+                zip(b_list, h_list, t_list)
+            ):
+                region.lines.append(
+                    TextLine(
+                        id=f"{region.id}-l{i + 1:03d}",
+                        baseline=baseline,
+                        polygon=textline,
+                        heights=heights,
+                    )
+                )
+        return page_layout
+
+
+class LayoutExtractor:
+    """CNN region+line detection with optional refinement passes
+    (reference: page_parser.py:202-299)."""
+
+    def __init__(self, config, device=None, config_path=""):
+        self.detect_regions = config.getboolean("DETECT_REGIONS", fallback=True)
+        self.detect_lines = config.getboolean("DETECT_LINES", fallback=True)
+        self.detect_straight_lines_in_regions = config.getboolean(
+            "DETECT_STRAIGHT_LINES_IN_REGIONS", fallback=False
+        )
+        self.merge_lines = config.getboolean("MERGE_LINES", fallback=False)
+        self.adjust_heights = config.getboolean("ADJUST_HEIGHTS", fallback=False)
+        self.multi_orientation = config.getboolean(
+            "MULTI_ORIENTATION", fallback=False
+        )
+        self.adjust_baselines = config.getboolean(
+            "ADJUST_BASELINES", fallback=False
+        )
+
+        model_path = config.get("MODEL_PATH", fallback=None)
+        self.engine = LayoutEngine(
+            model_path=compose_path(model_path, config_path) if model_path else None,
+            downsample=config.getint("DOWNSAMPLE", fallback=4),
+            adaptive_downsample=config.getboolean(
+                "ADAPTIVE_DOWNSAMPLE", fallback=True
+            ),
+            detection_threshold=config.getfloat(
+                "DETECTION_THRESHOLD", fallback=0.2
+            ),
+            max_mp=config.getfloat("MAX_MEGAPIXELS", fallback=5),
+            line_end_weight=config.getfloat("LINE_END_WEIGHT", fallback=1.0),
+            vertical_line_connection_range=config.getint(
+                "VERTICAL_LINE_CONNECTION_RANGE", fallback=5
+            ),
+            smooth_line_predictions=config.getboolean(
+                "SMOOTH_LINE_PREDICTIONS", fallback=True
+            ),
+            paragraph_line_threshold=config.getfloat(
+                "PARAGRAPH_LINE_THRESHOLD", fallback=0.3
+            ),
+        )
+
+    def process_page(self, img, page_layout: PageLayout) -> PageLayout:
+        if self.detect_regions or self.detect_lines:
+            if self.detect_regions:
+                page_layout.regions = []
+            if self.detect_lines:
+                for region in page_layout.regions:
+                    region.lines = []
+
+            orientations = [0, 1, 3] if self.multi_orientation else [0]
+            for rot in orientations:
+                regions = []
+                p_list, b_list, h_list, t_list = self.engine.detect(img, rot=rot)
+                if self.detect_regions:
+                    for rid, polygon in enumerate(p_list):
+                        region_id = (
+                            f"r{rid:03d}_{rot}" if rot > 0 else f"r{rid:03d}"
+                        )
+                        regions.append(RegionLayout(region_id, polygon))
+                if self.detect_lines:
+                    if not self.detect_regions:
+                        regions = page_layout.regions
+                    regions = helpers.assign_lines_to_regions(
+                        b_list, h_list, t_list, regions
+                    )
+                if self.detect_regions:
+                    page_layout.regions += regions
+
+        if self.merge_lines:
+            for region in page_layout.regions:
+                while True:
+                    original_count = len(region.lines)
+                    b_list, h_list = helpers.merge_lines(
+                        [line.baseline for line in region.lines],
+                        [line.heights for line in region.lines],
+                    )
+                    t_list = [
+                        helpers.baseline_to_textline(b, h)
+                        for b, h in zip(b_list, h_list)
+                    ]
+                    region.lines = []
+                    region = helpers.assign_lines_to_regions(
+                        b_list, h_list, t_list, [region]
+                    )[0]
+                    if len(region.lines) == original_count:
+                        break
+
+        needs_maps = (
+            self.detect_straight_lines_in_regions
+            or self.adjust_heights
+            or self.adjust_baselines
+        )
+        if needs_maps:
+            maps, ds = self.engine.parsenet.get_maps_with_optimal_resolution(img)
+
+        if self.detect_straight_lines_in_regions:
+            for region in page_layout.regions:
+                b_list, h_list, t_list = detect_lines_in_region(
+                    region.polygon, maps, ds
+                )
+                region.lines = []
+                region = helpers.assign_lines_to_regions(
+                    b_list, h_list, t_list, [region]
+                )[0]
+
+        if self.adjust_heights:
+            for line in page_layout.lines_iterator():
+                sample_points = helpers.resample_baselines(
+                    [line.baseline], num_points=40
+                )[0]
+                line.heights = self.engine.get_heights(maps, ds, sample_points)
+                line.polygon = helpers.baseline_to_textline(
+                    line.baseline, line.heights
+                )
+
+        if self.adjust_baselines:
+            crop = cropper.EngineLineCropper(line_height=32, poly=0, scale=1)
+            for line in page_layout.lines_iterator():
+                line.baseline = refine_baseline(
+                    line.baseline, line.heights, maps, ds, crop
+                )
+                line.polygon = helpers.baseline_to_textline(
+                    line.baseline, line.heights
+                )
+        return page_layout
+
+
+class LineFilter:
+    """Line filtering by orientation / position / page completeness
+    (reference: page_parser.py:302-335)."""
+
+    def __init__(self, config, device=None, config_path=""):
+        self.filter_directions = config.getboolean("FILTER_DIRECTIONS", fallback=False)
+        self.filter_incomplete_pages = config.getboolean(
+            "FILTER_INCOMPLETE_PAGES", fallback=False
+        )
+        self.filter_pages_with_short_lines = config.getboolean(
+            "FILTER_PAGES_WITH_SHORT_LINES", fallback=False
+        )
+        self.length_threshold = config.getint("LENGTH_THRESHOLD", fallback=0)
+
+        if self.filter_directions:
+            model_path = config.get("MODEL_PATH", fallback=None)
+            self.engine = LineFilterEngine(
+                model_path=compose_path(model_path, config_path)
+                if model_path
+                else None,
+            )
+
+    def process_page(self, img, page_layout: PageLayout) -> PageLayout:
+        if self.filter_directions:
+            self.engine.predict_directions(img)
+            for region in page_layout.regions:
+                region.lines = [
+                    line
+                    for line in region.lines
+                    if self.engine.check_line_rotation(line.polygon, line.baseline)
+                ]
+        if self.filter_incomplete_pages:
+            for region in page_layout.regions:
+                region.lines = [
+                    line
+                    for line in region.lines
+                    if helpers.check_line_position(
+                        line.baseline, page_layout.page_size
+                    )
+                ]
+        if self.filter_pages_with_short_lines:
+            b_list = [line.baseline for line in page_layout.lines_iterator()]
+            if helpers.get_max_line_length(b_list) < self.length_threshold:
+                page_layout.regions = []
+
+        page_layout.regions = [r for r in page_layout.regions if r.lines]
+        return page_layout
+
+
+class LinePostprocessor:
+    """(reference: page_parser.py:338-357)"""
+
+    def __init__(self, config, config_path=""):
+        stretch_lines = config["STRETCH_LINES"]
+        if stretch_lines != "max":
+            stretch_lines = int(stretch_lines)
+        self.engine = PostprocessingEngine(
+            stretch_lines=stretch_lines,
+            resample_lines=config.getboolean("RESAMPLE_LINES", fallback=False),
+            heights_from_regions=config.getboolean(
+                "HEIGHTS_FROM_REGIONS", fallback=False
+            ),
+        )
+
+    def process_page(self, img, page_layout: PageLayout) -> PageLayout:
+        if not page_layout.regions:
+            logger.warning(
+                "Skipping line post processing for page %s. No text region.",
+                page_layout.id,
+            )
+            return page_layout
+        for region in page_layout.regions:
+            self.engine.postprocess(region)
+        return page_layout
+
+
+class LayoutPostprocessor:
+    """(reference: page_parser.py:360-373)"""
+
+    def __init__(self, config, config_path=""):
+        self.retrace_regions = config.getboolean("RETRACE_REGIONS", fallback=False)
+
+    def process_page(self, img, page_layout: PageLayout) -> PageLayout:
+        if not page_layout.regions:
+            logger.warning(
+                "Skipping layout post processing for page %s. No text region.",
+                page_layout.id,
+            )
+            return page_layout
+        if self.retrace_regions:
+            for region in page_layout.regions:
+                helpers.retrace_region(region)
+        return page_layout
+
+
+class LineCropper:
+    """Crop every line to a height-normalized strip.
+
+    The device path batches all lines of the page into one bilinear
+    gather per width bucket (the reference runs per-line host cv2.remap,
+    reference: page_parser.py:376-403, the BASELINE.json hot spot)."""
+
+    DEVICE_BATCH_MIN = 4
+
+    def __init__(self, config, config_path=""):
+        poly = config.getint("INTERP", fallback=2)
+        line_scale = config.getfloat("LINE_SCALE", fallback=1.25)
+        line_height = config.getint("LINE_HEIGHT", fallback=32)
+        self.device_batched = config.getboolean("DEVICE_BATCHED", fallback=True)
+        self.crop_engine = cropper.EngineLineCropper(
+            line_height=line_height, poly=poly, scale=line_scale
+        )
+
+    def process_page(self, img, page_layout: PageLayout) -> PageLayout:
+        lines = list(page_layout.lines_iterator())
+        with stage_timer("line_crop"):
+            if self.device_batched and len(lines) >= self.DEVICE_BATCH_MIN:
+                self._crop_batched(img, lines, page_layout.id)
+            else:
+                self.crop_lines(img, lines, page_id=page_layout.id)
+        return page_layout
+
+    def _crop_batched(self, img: np.ndarray, lines: List[TextLine], page_id):
+        import jax.numpy as jnp
+
+        from pero_ocr_tpu.ops import warp
+
+        fields = []
+        ok = []
+        for line in lines:
+            try:
+                fields.append(
+                    self.crop_engine.get_crop_inputs(
+                        line.baseline, line.heights, self.crop_engine.line_height
+                    )
+                )
+                ok.append(True)
+            except Exception:
+                fields.append(None)
+                ok.append(False)
+
+        widths = [f.shape[1] if f is not None else 0 for f in fields]
+        buckets = [256, 512, 1024, 2048, 4096]
+        groups = warp.width_buckets(widths, buckets)
+
+        page = jnp.asarray(img.astype(np.float32))
+        for bucket, group in zip(sorted(buckets), groups):
+            group = [g for g in group if ok[g]]
+            if not group:
+                continue
+            stacked, true_widths = warp.pad_fields(
+                [fields[g] for g in group], bucket
+            )
+            crops = np.asarray(warp.warp_lines_xla(page, jnp.asarray(stacked)))
+            crops = np.clip(np.round(crops), 0, 255).astype(np.uint8)
+            for j, g in enumerate(group):
+                lines[g].crop = crops[j, :, : true_widths[j]]
+
+        for line, line_ok in zip(lines, ok):
+            if not line_ok or line.crop is None or line.crop.shape[1] == 0:
+                # Same failure-fallback shape as the host path
+                # (reference: crop_engine.py:17-22).
+                line.crop = np.zeros(
+                    (self.crop_engine.line_height, 32, 3), dtype=np.uint8
+                )
+                logger.warning(
+                    "Failed to crop line %s in page %s.", line.id, page_id
+                )
+
+    def crop_lines(self, img, lines: list, page_id=None) -> None:
+        for line in lines:
+            try:
+                line.crop = self.crop_engine.crop(img, line.baseline, line.heights)
+            except ValueError:
+                line.crop = np.zeros(
+                    (self.crop_engine.line_height, self.crop_engine.line_height, 3)
+                )
+                logger.warning(
+                    "Failed to crop line %s in page %s.", line.id, page_id
+                )
+
+
+class PageOCR:
+    """OCR stage adapter (reference: page_parser.py:406-434)."""
+
+    def __init__(self, config, device=None, config_path=""):
+        json_file = compose_path(config["OCR_JSON"], config_path)
+        from pero_ocr_tpu.ocr.ctc_engine import CTCEngineLineOCR
+        from pero_ocr_tpu.ocr.transformer_engine import TransformerEngineLineOCR
+
+        method = config.get("METHOD", fallback="")
+        if method in ("pytorch_ocr-transformer", "transformer"):
+            self.ocr_engine = TransformerEngineLineOCR(json_file)
+        else:
+            self.ocr_engine = CTCEngineLineOCR(json_file)
+
+    def process_page(self, img, page_layout: PageLayout) -> PageLayout:
+        for line in page_layout.lines_iterator():
+            if line.crop is None:
+                raise Exception(f"Missing crop in line {line.id}.")
+
+        with stage_timer("ocr"):
+            transcriptions, logits, logit_coords = self.ocr_engine.process_lines(
+                [line.crop for line in page_layout.lines_iterator()]
+            )
+
+        for line, transcription, line_logits, coords in zip(
+            page_layout.lines_iterator(), transcriptions, logits, logit_coords
+        ):
+            line.transcription = transcription
+            line.logits = line_logits
+            line.characters = list(self.ocr_engine.characters)
+            line.logit_coords = coords
+        return page_layout
+
+    @property
+    def provides_ctc_logits(self) -> bool:
+        from pero_ocr_tpu.ocr.ctc_engine import CTCEngineLineOCR
+
+        return isinstance(self.ocr_engine, CTCEngineLineOCR)
+
+
+class PageDecoder:
+    """LM beam-search decode stage (reference: page_parser.py:96-156)."""
+
+    def __init__(self, decoder, line_confidence_threshold=None, carry_h_over=False):
+        self.decoder = decoder
+        self.line_confidence_threshold = line_confidence_threshold
+        self.lines_examined = 0
+        self.lines_decoded = 0
+        self.seconds_decoding = 0.0
+        self.continue_lines = carry_h_over
+        self.last_h = None
+        self.last_line = None
+
+    def process_page(self, page_layout: PageLayout) -> PageLayout:
+        self.last_h = None
+        for line in page_layout.lines_iterator():
+            try:
+                line.transcription = self.decode_line(line)
+            except Exception:
+                logger.error(
+                    "Failed to process line %s of page %s.",
+                    line.id, page_layout.id, exc_info=True,
+                )
+        return page_layout
+
+    def decode_line(self, line: TextLine) -> str:
+        self.lines_examined += 1
+        logits = prepare_dense_logits(line)
+        if self.line_confidence_threshold is not None:
+            if line_confident_enough(logits, self.line_confidence_threshold):
+                self.last_h = None
+                self.last_line = line.transcription
+                return line.transcription
+
+        t0 = time.time()
+        if self.continue_lines:
+            if not self.last_h and self.last_line:
+                self.last_h = self.decoder._lm.initial_h_from_line(self.last_line)
+            hypotheses, last_h = self.decoder(
+                logits, return_h=True, init_h=self.last_h
+            )
+            self.last_h = self.decoder._lm.add_line_end(last_h)
+        else:
+            hypotheses = self.decoder(logits)
+        self.seconds_decoding += time.time() - t0
+        self.lines_decoded += 1
+
+        transcription = hypotheses.best_hyp()
+        self.last_line = transcription
+        return transcription
+
+    def decoding_summary(self) -> str:
+        if self.lines_examined == 0:
+            return "This PageDecoder has not processed a single line yet"
+        if self.lines_decoded == 0:
+            return (
+                f"Processed {self.lines_examined} lines, but none required "
+                f"actual decoding"
+            )
+        decoded_pct = 100.0 * self.lines_decoded / self.lines_examined
+        ms_per_line = 1000.0 * self.seconds_decoding / self.lines_decoded
+        return (
+            f"Ran on {self.lines_examined}, decoded {self.lines_decoded} "
+            f"lines ({decoded_pct:.1f} %) in {self.seconds_decoding:.2f}s "
+            f"({ms_per_line:.1f}ms per line)"
+        )
+
+
+# ----------------------------------------------------------------------
+class PageParser:
+    """Top-level pipeline (reference: page_parser.py:457-531)."""
+
+    def __init__(self, config, device=None, config_path=""):
+        pp = config["PAGE_PARSER"]
+        self.run_layout_parser = pp.getboolean("RUN_LAYOUT_PARSER", fallback=False)
+        self.run_line_cropper = pp.getboolean("RUN_LINE_CROPPER", fallback=False)
+        self.run_ocr = pp.getboolean("RUN_OCR", fallback=False)
+        self.run_decoder = pp.getboolean("RUN_DECODER", fallback=False)
+        self.filter_confident_lines_threshold = pp.getfloat(
+            "FILTER_CONFIDENT_LINES_THRESHOLD", fallback=-1
+        )
+
+        self.layout_parsers = []
+        self.line_cropper = None
+        self.ocr = None
+        self.decoder = None
+        self.device = device
+
+        if self.run_layout_parser:
+            for i in range(1, 10):
+                if config.has_section(f"LAYOUT_PARSER_{i}"):
+                    self.layout_parsers.append(
+                        layout_parser_factory(
+                            config, device, config_path=config_path, order=i
+                        )
+                    )
+        if self.run_line_cropper:
+            self.line_cropper = line_cropper_factory(config, config_path=config_path)
+        if self.run_ocr:
+            self.ocr = ocr_factory(config, device, config_path=config_path)
+        if self.run_decoder:
+            self.decoder = page_decoder_factory(
+                config, device, config_path=config_path
+            )
+
+    @staticmethod
+    def compute_line_confidence(line: TextLine, threshold=None) -> float:
+        logits = line.get_dense_logits()
+        log_probs = logits - np.logaddexp.reduce(logits, axis=1)[:, np.newaxis]
+        best_ids = np.argmax(log_probs, axis=-1)
+        best_probs = np.exp(np.max(log_probs, axis=-1))
+        return get_prob(best_ids, best_probs)
+
+    @property
+    def provides_ctc_logits(self) -> bool:
+        if not self.ocr:
+            return False
+        return self.ocr.provides_ctc_logits
+
+    def update_confidences(self, page_layout: PageLayout) -> None:
+        for line in page_layout.lines_iterator():
+            if line.logits is not None:
+                line.transcription_confidence = self.compute_line_confidence(line)
+
+    def filter_confident_lines(self, page_layout: PageLayout) -> PageLayout:
+        for region in page_layout.regions:
+            region.lines = [
+                line
+                for line in region.lines
+                if line.transcription_confidence
+                > self.filter_confident_lines_threshold
+            ]
+        return page_layout
+
+    def process_page(self, image, page_layout: PageLayout) -> PageLayout:
+        if self.run_layout_parser:
+            with stage_timer("layout"):
+                for layout_parser in self.layout_parsers:
+                    page_layout = layout_parser.process_page(image, page_layout)
+        if self.run_line_cropper:
+            page_layout = self.line_cropper.process_page(image, page_layout)
+        if self.run_ocr:
+            page_layout = self.ocr.process_page(image, page_layout)
+        if self.run_decoder:
+            with stage_timer("decoder"):
+                page_layout = self.decoder.process_page(page_layout)
+
+        self.update_confidences(page_layout)
+
+        if self.filter_confident_lines_threshold > 0:
+            page_layout = self.filter_confident_lines(page_layout)
+        return page_layout

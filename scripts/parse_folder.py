@@ -1,0 +1,431 @@
+#!/usr/bin/env python3
+"""Batch folder OCR processing CLI.
+
+Capability-equivalent to the reference CLI
+(reference: user_scripts/parse_folder.py:26-362): config INI + CLI
+overrides, image/XML discovery, ``--skip-processed`` resume with
+intersection semantics, per-page isolation of failures, and the same set
+of outputs (Page XML, ALTO, renders, line crops, logits pickles, LMDB
+crop store, transcription files).
+
+TPU-native deltas:
+- device management is the JAX runtime (no GPU claiming);
+- a background prefetch thread decodes the next page image while the
+  current page occupies the device (async host input pipeline);
+- ``--timing-report`` prints the structured per-stage timing table.
+"""
+
+import argparse
+import configparser
+import logging
+import os
+import re
+import sys
+import threading
+import time
+import traceback
+from queue import Queue
+from typing import List, Optional, Set
+
+import cv2
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pero_ocr_tpu.core.layout import PageLayout
+from pero_ocr_tpu.document.page_parser import PageParser
+from pero_ocr_tpu.utils.timing import timing_report
+
+logger = logging.getLogger(__name__)
+
+
+def parse_arguments():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-c", "--config", required=True, help="Path to input config file.")
+    parser.add_argument("-s", "--skip-processed", action="store_true",
+                        help="If set, already processed files are skipped.")
+    parser.add_argument("-i", "--input-image-path")
+    parser.add_argument("-x", "--input-xml-path")
+    parser.add_argument("--input-logit-path")
+    parser.add_argument("--output-xml-path")
+    parser.add_argument("--output-render-path")
+    parser.add_argument("--output-line-path")
+    parser.add_argument("--output-logit-path")
+    parser.add_argument("--output-alto-path")
+    parser.add_argument("--output-transcriptions-file-path")
+    parser.add_argument("--skipp-missing-xml", action="store_true",
+                        help="Skip images which have missing xml.")
+    parser.add_argument("--device", choices=["tpu", "cpu"], default="tpu")
+    parser.add_argument("--timing-report", action="store_true",
+                        help="Print per-stage timing table at the end.")
+    parser.add_argument("--process-count", type=int, default=1,
+                        help="Parallel page processes (line-cropping-only "
+                             "configs; neural stages run in-process).")
+    return parser.parse_args()
+
+
+def setup_logging(config):
+    level = logging.getLevelName(config.get("LOGGING_LEVEL", fallback="WARNING"))
+    logging.basicConfig(
+        format="[%(levelname)s] %(asctime)s - %(name)s - %(message)s", level=level
+    )
+    logging.getLogger("pero_ocr_tpu").setLevel(level)
+
+
+def get_value_or_none(config, section, key):
+    return config[section][key] if config.has_option(section, key) else None
+
+
+def create_dir_if_not_exists(path):
+    if path is not None:
+        os.makedirs(path, exist_ok=True)
+
+
+def load_already_processed_files_in_directory(directory: Optional[str]) -> Set[str]:
+    done = set()
+    if directory is not None:
+        regex = re.compile(r"(.+?)(\.logits|\.xml|\.jpg)")
+        for f in os.listdir(directory):
+            matched = regex.match(f)
+            if matched:
+                done.add(matched.groups()[0])
+    return done
+
+
+def load_already_processed_files(directories: List[Optional[str]]) -> Set[str]:
+    """A page is done only when present in ALL requested output dirs
+    (intersection semantics, reference: parse_folder.py:88-102)."""
+    done: Set[str] = set()
+    first = True
+    for directory in directories:
+        if directory is None:
+            continue
+        files = load_already_processed_files_in_directory(directory)
+        done = files if first else done.intersection(files)
+        first = False
+    return done
+
+
+class LMDBWriter:
+    """Line-crop LMDB store (reference: parse_folder.py:118-137); requires
+    the optional lmdb package."""
+
+    def __init__(self, path):
+        import lmdb  # gated optional dependency
+
+        self.env_out = lmdb.open(path, map_size=100_000_000_000)
+
+    def __call__(self, page_layout: PageLayout, file_id: str):
+        lines = sorted(page_layout.lines_iterator(), key=lambda x: x.id)
+        records = {}
+        for line in lines:
+            if line.transcription:
+                key = f"{file_id}-{line.id}.jpg"
+                img = cv2.imencode(
+                    ".jpg", line.crop.astype(np.uint8),
+                    [int(cv2.IMWRITE_JPEG_QUALITY), 95],
+                )[1].tobytes()
+                records[key] = img
+        with self.env_out.begin(write=True) as txn:
+            cursor = txn.cursor()
+            for key, value in records.items():
+                cursor.put(key.encode(), value)
+
+
+class Computator:
+    """Per-page processing unit (reference: parse_folder.py:140-224)."""
+
+    def __init__(
+        self, page_parser, input_image_path, input_xml_path, input_logit_path,
+        output_render_path, output_logit_path, output_alto_path,
+        output_xml_path, output_line_path,
+    ):
+        self.page_parser = page_parser
+        self.input_image_path = input_image_path
+        self.input_xml_path = input_xml_path
+        self.input_logit_path = input_logit_path
+        self.output_render_path = output_render_path
+        self.output_logit_path = output_logit_path
+        self.output_alto_path = output_alto_path
+        self.output_xml_path = output_xml_path
+        self.output_line_path = output_line_path
+
+    def __call__(self, image_file_name, file_id, index, ids_count, image=None):
+        print(f"Processing {file_id}")
+        t1 = time.time()
+        annotations = []
+        try:
+            if image is None and self.input_image_path is not None:
+                path = os.path.join(self.input_image_path, image_file_name)
+                image = cv2.imread(path, 1)
+                if image is None:
+                    raise Exception(f'Unable to read image "{path}"')
+
+            if self.input_xml_path:
+                page_layout = PageLayout(
+                    file=os.path.join(self.input_xml_path, file_id + ".xml")
+                )
+            else:
+                page_layout = PageLayout(
+                    id=file_id, page_size=(image.shape[0], image.shape[1])
+                )
+
+            if self.input_logit_path is not None:
+                page_layout.load_logits(
+                    os.path.join(self.input_logit_path, file_id + ".logits")
+                )
+
+            page_layout = self.page_parser.process_page(image, page_layout)
+
+            if self.output_xml_path is not None:
+                page_layout.to_pagexml(
+                    os.path.join(self.output_xml_path, file_id + ".xml")
+                )
+            if self.output_render_path is not None:
+                page_layout.render_to_image(image)
+                cv2.imwrite(
+                    os.path.join(self.output_render_path, file_id + ".jpg"),
+                    image, [int(cv2.IMWRITE_JPEG_QUALITY), 70],
+                )
+            if self.output_logit_path is not None:
+                page_layout.save_logits(
+                    os.path.join(self.output_logit_path, file_id + ".logits")
+                )
+            if self.output_alto_path is not None:
+                page_layout.to_altoxml(
+                    os.path.join(self.output_alto_path, file_id + ".xml")
+                )
+            if self.output_line_path is not None and page_layout is not None:
+                if "lmdb" in self.output_line_path:
+                    LMDBWriter(self.output_line_path)(page_layout, file_id)
+                else:
+                    for line in page_layout.lines_iterator():
+                        cv2.imwrite(
+                            os.path.join(
+                                self.output_line_path, f"{file_id}-{line.id}.jpg"
+                            ),
+                            line.crop.astype(np.uint8),
+                            [int(cv2.IMWRITE_JPEG_QUALITY), 98],
+                        )
+
+            for line in sorted(page_layout.lines_iterator(), key=lambda x: x.id):
+                if line.transcription:
+                    annotations.append(
+                        f"{file_id}-{line.id}.jpg " + line.transcription
+                    )
+        except KeyboardInterrupt:
+            traceback.print_exc()
+            print("Terminated by user.")
+            sys.exit()
+        except Exception as e:
+            print(f"ERROR: Failed to process file {file_id}.")
+            print(e)
+            traceback.print_exc()
+        print(
+            "DONE {current}/{total} ({percentage:.2f} %) [id: {file_id}] "
+            "Time:{time:.2f}".format(
+                current=index + 1, total=ids_count,
+                percentage=(index + 1) / ids_count * 100,
+                file_id=file_id, time=time.time() - t1,
+            )
+        )
+        return annotations
+
+
+class ImagePrefetcher:
+    """Decodes the next page image on a background thread while the device
+    is busy with the current page."""
+
+    def __init__(self, image_dir: Optional[str], file_names: List[Optional[str]]):
+        self.image_dir = image_dir
+        self.queue: Queue = Queue(maxsize=2)
+        self.thread = threading.Thread(
+            target=self._worker, args=(file_names,), daemon=True
+        )
+        self.thread.start()
+
+    def _worker(self, file_names):
+        for name in file_names:
+            if name is None or self.image_dir is None:
+                self.queue.put(None)
+            else:
+                self.queue.put(cv2.imread(os.path.join(self.image_dir, name), 1))
+        self.queue.put(StopIteration)
+
+    def get(self):
+        item = self.queue.get()
+        if item is StopIteration:
+            raise StopIteration
+        return item
+
+
+def main():
+    args = parse_arguments()
+    config_path = args.config
+    if not os.path.isfile(config_path):
+        print(f'ERROR: Config file does not exist: "{config_path}".')
+        sys.exit(-1)
+
+    config = configparser.ConfigParser()
+    config.read(config_path)
+    if "PARSE_FOLDER" not in config:
+        config.add_section("PARSE_FOLDER")
+
+    overrides = {
+        "INPUT_IMAGE_PATH": args.input_image_path,
+        "INPUT_XML_PATH": args.input_xml_path,
+        "INPUT_LOGIT_PATH": args.input_logit_path,
+        "OUTPUT_XML_PATH": args.output_xml_path,
+        "OUTPUT_RENDER_PATH": args.output_render_path,
+        "OUTPUT_LINE_PATH": args.output_line_path,
+        "OUTPUT_LOGIT_PATH": args.output_logit_path,
+        "OUTPUT_ALTO_PATH": args.output_alto_path,
+    }
+    for key, value in overrides.items():
+        if value is not None:
+            config["PARSE_FOLDER"][key] = value
+
+    setup_logging(config["PARSE_FOLDER"])
+
+    if args.device == "cpu":
+        # The env var alone is not honored by the TPU plugin build; the
+        # config update is what actually selects the CPU backend.
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    page_parser = PageParser(config, config_path=os.path.dirname(config_path))
+
+    get = lambda key: get_value_or_none(config, "PARSE_FOLDER", key)
+    input_image_path = get("INPUT_IMAGE_PATH")
+    input_xml_path = get("INPUT_XML_PATH")
+    input_logit_path = get("INPUT_LOGIT_PATH")
+    output_render_path = get("OUTPUT_RENDER_PATH")
+    output_line_path = get("OUTPUT_LINE_PATH")
+    output_xml_path = get("OUTPUT_XML_PATH")
+    output_logit_path = get("OUTPUT_LOGIT_PATH")
+    output_alto_path = get("OUTPUT_ALTO_PATH")
+
+    # Preflight: AR transformer engines cannot produce CTC logits
+    # (reference: parse_folder.py:274-280).
+    if not page_parser.provides_ctc_logits and not input_logit_path and output_alto_path:
+        logging.error(
+            "Cannot create ALTO with current PageParser "
+            "(transformer outputs are incompatible)"
+        )
+        sys.exit(2)
+    if not page_parser.provides_ctc_logits and output_logit_path:
+        logging.error(
+            "Cannot store logits with current PageParser "
+            "(transformer outputs are incompatible)"
+        )
+        sys.exit(2)
+
+    for p in (output_render_path, output_line_path, output_xml_path,
+              output_logit_path, output_alto_path):
+        create_dir_if_not_exists(p)
+
+    if input_logit_path is not None and input_xml_path is None:
+        input_logit_path = None
+        logger.warning(
+            "Logit path specified and Page XML path not specified. "
+            "Logits will be ignored."
+        )
+
+    if input_image_path is not None:
+        logger.info("Reading images from %s.", input_image_path)
+        ignored = {"", ".xml", ".logits"}
+        images_to_process = sorted(
+            f for f in os.listdir(input_image_path)
+            if os.path.splitext(f)[1].lower() not in ignored
+        )
+        ids_to_process = [os.path.splitext(f)[0] for f in images_to_process]
+    elif input_xml_path is not None:
+        logger.info("Reading page xml from %s", input_xml_path)
+        xmls = sorted(
+            f for f in os.listdir(input_xml_path)
+            if os.path.splitext(f)[1] == ".xml"
+        )
+        images_to_process = [None] * len(xmls)
+        ids_to_process = [os.path.splitext(f)[0] for f in xmls]
+    else:
+        raise Exception(
+            "Either INPUT_IMAGE_PATH or INPUT_XML_PATH has to be specified. "
+            f"Both are missing in {config_path}."
+        )
+
+    if args.skip_processed:
+        done = load_already_processed_files(
+            [output_xml_path, output_logit_path, output_render_path]
+        )
+        if done:
+            logger.info("Already processed %d file(s).", len(done))
+            images_to_process = [
+                img for fid, img in zip(ids_to_process, images_to_process)
+                if fid not in done
+            ]
+            ids_to_process = [fid for fid in ids_to_process if fid not in done]
+
+    if input_xml_path and args.skipp_missing_xml:
+        kept = [
+            (fid, img)
+            for fid, img in zip(ids_to_process, images_to_process)
+            if os.path.exists(os.path.join(input_xml_path, fid + ".xml"))
+        ]
+        ids_to_process = [fid for fid, _ in kept]
+        images_to_process = [img for _, img in kept]
+
+    computator = Computator(
+        page_parser, input_image_path, input_xml_path, input_logit_path,
+        output_render_path, output_logit_path, output_alto_path,
+        output_xml_path, output_line_path,
+    )
+
+    t_start = time.time()
+    results = []
+    if args.process_count > 1:
+        from multiprocessing import Pool
+
+        with Pool(processes=args.process_count) as pool:
+            tasks = [
+                (img, fid, i, len(ids_to_process))
+                for i, (fid, img) in enumerate(
+                    zip(ids_to_process, images_to_process)
+                )
+            ]
+            results = pool.starmap(computator, tasks)
+    else:
+        prefetcher = ImagePrefetcher(input_image_path, images_to_process)
+        for index, (file_id, image_file_name) in enumerate(
+            zip(ids_to_process, images_to_process)
+        ):
+            try:
+                image = prefetcher.get()
+            except StopIteration:
+                image = None
+            results.append(
+                computator(
+                    image_file_name, file_id, index, len(ids_to_process),
+                    image=image,
+                )
+            )
+
+    if args.output_transcriptions_file_path is not None:
+        with open(args.output_transcriptions_file_path, "w", encoding="utf-8") as f:
+            for page_lines in results:
+                print("\n".join(page_lines), file=f)
+
+    if page_parser.decoder:
+        logger.info(page_parser.decoder.decoding_summary())
+    if ids_to_process:
+        logger.info(
+            "AVERAGE PROCESSING TIME %s",
+            (time.time() - t_start) / len(ids_to_process),
+        )
+    if args.timing_report:
+        print(timing_report())
+
+
+if __name__ == "__main__":
+    main()

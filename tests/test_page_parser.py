@@ -1,0 +1,213 @@
+"""Hermetic end-to-end pipeline tests: synthetic page image -> PageParser
+-> transcribed PageLayout, on CPU with random-weight engines.  This is
+the orchestration coverage the reference lacks (SURVEY.md §4 gaps)."""
+
+import configparser
+import json
+
+import numpy as np
+import pytest
+
+from pero_ocr_tpu.core.layout import PageLayout
+from pero_ocr_tpu.document.page_parser import PageParser
+
+
+def make_synthetic_page(width=600, height=400, n_lines=4, line_height=24):
+    """White page with dark text-like dashes arranged in lines."""
+    rng = np.random.default_rng(0)
+    img = np.full((height, width, 3), 245, np.uint8)
+    y = 60
+    for _ in range(n_lines):
+        x = 40
+        while x < width - 60:
+            w = rng.integers(10, 30)
+            img[y - line_height + 6 : y - 2, x : x + w] = rng.integers(0, 60)
+            x += w + rng.integers(4, 12)
+        y += 70
+    return img
+
+
+@pytest.fixture(scope="module")
+def ocr_json(tmp_path_factory):
+    d = tmp_path_factory.mktemp("engine")
+    cfg = {
+        "characters": list("ab"),
+        "line_px_height": 16,
+        "line_vertical_scale": 1,
+        "checkpoint": "none.ckpt",
+        "net_spec": {
+            "conv_features": [4, 8],
+            "subsampling": 2,
+            "lstm_layers": 1,
+            "lstm_features": 8,
+        },
+    }
+    p = d / "ocr.json"
+    p.write_text(json.dumps(cfg))
+    return str(p)
+
+
+def make_config(ocr_json, run_decoder=False):
+    config = configparser.ConfigParser()
+    config["PAGE_PARSER"] = {
+        "RUN_LAYOUT_PARSER": "yes",
+        "RUN_LINE_CROPPER": "yes",
+        "RUN_OCR": "yes",
+        "RUN_DECODER": "yes" if run_decoder else "no",
+    }
+    config["LAYOUT_PARSER_1"] = {"METHOD": "REGION_WHOLE_PAGE"}
+    config["LAYOUT_PARSER_2"] = {
+        "METHOD": "LINES_SIMPLE_THRESHOLD",
+        "ADAPTIVE_THRESHOLD": "91",
+        "BLOCK_SIZE": "21",
+        "MINIMUM_LENGTH": "6",
+        "IGNORED_BORDER_PIXELS": "10",
+    }
+    config["LINE_CROPPER"] = {
+        "INTERP": "2",
+        "LINE_SCALE": "1.0",
+        "LINE_HEIGHT": "16",
+    }
+    config["OCR"] = {"OCR_JSON": ocr_json, "METHOD": "pytorch_ocr"}
+    if run_decoder:
+        config["DECODER"] = {
+            "TYPE": "GREEDY",
+            "USE_CPU": "yes",
+        }
+    return config
+
+
+class TestPageParserEndToEnd:
+    def test_full_pipeline(self, ocr_json):
+        img = make_synthetic_page()
+        parser = PageParser(make_config(ocr_json))
+        layout = PageLayout(id="test.jpg", page_size=img.shape[:2])
+        layout = parser.process_page(img, layout)
+
+        assert len(layout.regions) == 1
+        lines = list(layout.lines_iterator())
+        assert 2 <= len(lines) <= 8  # synthetic page has 4 text rows
+        for line in lines:
+            assert line.crop is not None
+            assert line.crop.shape[0] == 16
+            assert isinstance(line.transcription, str)
+            assert line.logits is not None
+            assert line.transcription_confidence is not None
+            assert line.characters[-1] == "​"
+
+        # The result serializes to valid Page XML and logits pickle.
+        xml = layout.to_pagexml_string()
+        assert "TextLine" in xml
+        payload = layout.save_logits_bytes()
+        assert len(payload) > 0
+
+    def test_decoder_stage(self, ocr_json):
+        img = make_synthetic_page(n_lines=2)
+        parser = PageParser(make_config(ocr_json, run_decoder=True))
+        layout = PageLayout(id="test.jpg", page_size=img.shape[:2])
+        layout = parser.process_page(img, layout)
+        for line in layout.lines_iterator():
+            assert isinstance(line.transcription, str)
+        assert parser.decoder.lines_examined > 0
+        assert "lines" in parser.decoder.decoding_summary()
+
+    def test_provides_ctc_logits(self, ocr_json):
+        parser = PageParser(make_config(ocr_json))
+        assert parser.provides_ctc_logits
+
+    def test_batched_crop_matches_host_crop(self, ocr_json):
+        """The device-batched crop path must agree with the host cv2 path."""
+        img = make_synthetic_page()
+        config = make_config(ocr_json)
+        parser = PageParser(config)
+
+        layout1 = PageLayout(id="a.jpg", page_size=img.shape[:2])
+        for lp in parser.layout_parsers:
+            layout1 = lp.process_page(img, layout1)
+
+        import copy
+
+        layout2 = copy.deepcopy(layout1)
+
+        parser.line_cropper.device_batched = True
+        parser.line_cropper.process_page(img, layout1)
+        parser.line_cropper.device_batched = False
+        parser.line_cropper.process_page(img, layout2)
+
+        compared = 0
+        for l1, l2 in zip(layout1.lines_iterator(), layout2.lines_iterator()):
+            if not l1.crop.any() or not l2.crop.any():
+                continue  # failure-fallback zero crop on either path
+            assert l1.crop.shape == l2.crop.shape
+            diff = np.abs(
+                l1.crop.astype(float) - l2.crop.astype(float)
+            )
+            assert np.median(diff) <= 1.0
+            compared += 1
+        assert compared >= 2
+
+
+class TestSorters:
+    def test_smart_sorter_columns(self, ocr_json):
+        """Two columns of regions must be read column by column."""
+        from pero_ocr_tpu.core.layout import RegionLayout
+        from pero_ocr_tpu.layout_engines.smart_sorter import SmartRegionSorter
+
+        layout = PageLayout(id="x", page_size=(400, 600))
+
+        def region(rid, x0, y0, x1, y1):
+            return RegionLayout(
+                rid, np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]])
+            )
+
+        # Perfect 2x2 grid: the XY-cut splits into y-overlap bands first,
+        # then left-to-right inside each band (same as the reference's
+        # divide_and_order(vertical=False) entry, smart_sorter.py:177-222).
+        layout.regions = [
+            region("D", 320, 210, 580, 390),
+            region("A", 20, 10, 280, 190),
+            region("C", 320, 10, 580, 190),
+            region("B", 20, 210, 280, 390),
+        ]
+        sorter = SmartRegionSorter()
+        img = np.zeros((400, 600, 3), np.uint8)
+        layout = sorter.process_page(img, layout)
+        assert [r.id for r in layout.regions] == ["A", "C", "B", "D"]
+
+    def test_smart_sorter_true_columns(self):
+        """Two columns WITHOUT cross-column y-overlap read column-wise."""
+        from pero_ocr_tpu.core.layout import RegionLayout
+        from pero_ocr_tpu.layout_engines.smart_sorter import SmartRegionSorter
+
+        layout = PageLayout(id="x", page_size=(400, 600))
+
+        def region(rid, x0, y0, x1, y1):
+            return RegionLayout(
+                rid, np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]])
+            )
+
+        # Left column occupies the top half, right column the bottom half:
+        # no y-overlap across columns -> vertical cut groups by column.
+        layout.regions = [
+            region("B", 20, 110, 280, 190),
+            region("A", 20, 10, 280, 90),
+            region("D", 320, 310, 580, 390),
+            region("C", 320, 210, 580, 290),
+        ]
+        sorter = SmartRegionSorter()
+        img = np.zeros((400, 600, 3), np.uint8)
+        layout = sorter.process_page(img, layout)
+        assert [r.id for r in layout.regions] == ["A", "B", "C", "D"]
+
+    def test_naive_sorter(self):
+        from pero_ocr_tpu.core.layout import RegionLayout
+        from pero_ocr_tpu.layout_engines.naive_sorter import NaiveRegionSorter
+
+        layout = PageLayout(id="x", page_size=(400, 600))
+        layout.regions = [
+            RegionLayout("low", np.array([[0, 300], [100, 300], [100, 380], [0, 380]])),
+            RegionLayout("high", np.array([[0, 10], [100, 10], [100, 80], [0, 80]])),
+        ]
+        img = np.zeros((400, 600, 3), np.uint8)
+        layout = NaiveRegionSorter().process_page(img, layout)
+        assert [r.id for r in layout.regions] == ["high", "low"]
