@@ -1,0 +1,139 @@
+#!/usr/bin/env python3
+"""End-to-end page-throughput benchmark (runs on the real TPU chip).
+
+Workload per page (BASELINE.json config-2 shape: layout + bucketed line
+recognition + crop export on a full newspaper-like page):
+
+1. ParseNet layout-map inference at 1/4 resolution (jitted U-Net fwd);
+2. fused XLA map post-processing;
+3. line geometry on host (classical detector supplies the line set so the
+   per-page line count is deterministic with random CNN weights);
+4. batched device line-crop warp into width buckets;
+5. bucketed CTC recognition + on-device greedy collapse.
+
+Reports pages/sec end-to-end.  ``vs_baseline`` is the fraction of the
+BASELINE.md north-star target (50 newspaper pages/sec per chip); the
+reference publishes no figures of its own (BASELINE.md).
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+NORTH_STAR_PAGES_PER_SEC = 50.0
+PAGE_H, PAGE_W = 2560, 1792
+N_TEXT_ROWS = 40
+LINE_HEIGHT_PX = 40
+WARMUP_PAGES = 2
+BENCH_PAGES = 8
+
+
+def make_page(rng, height=PAGE_H, width=PAGE_W):
+    img = np.full((height, width, 3), 243, np.uint8)
+    n_cols = 2
+    col_w = width // n_cols
+    for c in range(n_cols):
+        x_base = c * col_w + 60
+        y = 80
+        for _ in range(N_TEXT_ROWS // n_cols):
+            x = x_base
+            while x < (c + 1) * col_w - 80:
+                w = int(rng.integers(14, 42))
+                img[y - 28 : y - 4, x : x + w] = int(rng.integers(0, 70))
+                x += w + int(rng.integers(6, 16))
+            y += 56
+    return img
+
+
+def main():
+    from pero_ocr_tpu.utils.jax_setup import configure
+
+    configure()
+
+    import jax
+    import jax.numpy as jnp
+
+    from pero_ocr_tpu.models.parsenet import ParseNet
+    from pero_ocr_tpu.models.recognizer import CTCRecognizer, RecognizerSpec
+    from pero_ocr_tpu.parallel.pipeline import TPUPagePipeline
+
+    rng = np.random.default_rng(0)
+    pages = [make_page(rng) for _ in range(3)]
+
+    # --- engines (random weights; compute cost is what we measure) -----
+    parsenet = ParseNet()
+    pn_params = parsenet.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
+    )
+    rec_spec = RecognizerSpec(
+        num_classes=80, line_height=32,
+        conv_features=(48, 96, 192, 384), subsampling=4,
+        lstm_layers=2, lstm_features=256,
+    )
+    recognizer = CTCRecognizer(rec_spec)
+    rec_params = recognizer.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 128, 3), jnp.float32)
+    )
+
+    pipeline = TPUPagePipeline(
+        parsenet, pn_params, recognizer, rec_params,
+        downsample=4, crop_bucket=1024, max_lines=N_TEXT_ROWS,
+    )
+
+    # Deterministic line set per page: evenly spaced rows in two columns
+    # (classical-layout override keeps the workload size fixed with
+    # random CNN weights; stage A still runs and is timed).
+    def page_lines(page):
+        baselines, heights = [], []
+        col_w = page.shape[1] // 2
+        for c in range(2):
+            x0, x1 = c * col_w + 50, (c + 1) * col_w - 70
+            for r in range(N_TEXT_ROWS // 2):
+                y = 80 + r * 56
+                baselines.append(np.array([[x0, y], [x1, y]], float))
+                heights.append([26.0, 8.0])
+        return baselines, heights
+
+    def run_pages(page_list):
+        total = 0
+        for result in pipeline.run(page_list, lines_override=page_lines):
+            if result.label_lengths is not None:
+                total += int(result.label_lengths.sum())
+        return total
+
+    # Warmup (compiles).
+    run_pages([pages[i % len(pages)] for i in range(WARMUP_PAGES)])
+
+    t0 = time.perf_counter()
+    total_lines = run_pages([pages[i % len(pages)] for i in range(BENCH_PAGES)])
+    elapsed = time.perf_counter() - t0
+
+    pages_per_sec = BENCH_PAGES / elapsed
+    lines_per_sec = BENCH_PAGES * N_TEXT_ROWS / elapsed
+    print(
+        f"# {pages_per_sec:.2f} pages/s, {lines_per_sec:.1f} lines/s, "
+        f"{elapsed / BENCH_PAGES * 1000:.1f} ms/page on {jax.devices()[0]}",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "newspaper_pages_per_sec_per_chip",
+                "value": round(pages_per_sec, 3),
+                "unit": "pages/s",
+                "vs_baseline": round(pages_per_sec / NORTH_STAR_PAGES_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

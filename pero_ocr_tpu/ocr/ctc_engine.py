@@ -14,6 +14,7 @@ from __future__ import annotations
 import functools
 from typing import List, Tuple
 
+import flax.serialization
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -49,22 +50,14 @@ class CTCEngineLineOCR(BaseEngineLineOCR):
 
         self.variables = load_or_init(self.checkpoint, init_fn, name="CTC OCR")
 
-        if self.spec.embed_num:
-            if self.embed_id == "mean" or self.embed_id is None:
-                # The extra (last) embedding row stands in for the mean /
-                # unknown writer (reference: pytorch_ocr_engine.py:64-66).
-                self._embed_id_value = self.spec.embed_num
-            else:
-                self._embed_id_value = int(self.embed_id)
-        else:
-            self._embed_id_value = None
-
         self._forward = jax.jit(self._forward_impl)
 
-    def _forward_impl(self, batch: jnp.ndarray, widths: jnp.ndarray):
+    def _forward_impl(self, batch: jnp.ndarray, embed_id: jnp.ndarray):
         images = batch.astype(jnp.float32) / 255.0
-        if self._embed_id_value is not None:
-            embed_ids = jnp.full((batch.shape[0],), self._embed_id_value, jnp.int32)
+        if self.spec.embed_num:
+            # embed_id is a traced argument so sweeping ids (select_embed_id)
+            # reuses the compiled program.
+            embed_ids = jnp.full((batch.shape[0],), embed_id, jnp.int32)
             logits = self.model.apply(self.variables, images, embed_ids)
         else:
             logits = self.model.apply(self.variables, images)
@@ -74,11 +67,42 @@ class CTCEngineLineOCR(BaseEngineLineOCR):
         labels, lengths = ctc.greedy_ctc_labels(logits, valid_frames)
         return logits, labels, lengths
 
+    def current_embed_id(self) -> int:
+        """Resolve the active writer-embedding id (supports runtime
+        reassignment of ``self.embed_id``, e.g. the embed-id sweep)."""
+        if not self.spec.embed_num:
+            return 0
+        if self.embed_id == "mean" or self.embed_id is None:
+            return self.spec.embed_num
+        return int(self.embed_id)
+
+    def embedding_table(self) -> np.ndarray:
+        """The writer-embedding matrix (for k-means representative
+        selection, reference: user_scripts/select_embed_id.py:114-129)."""
+
+        def find_embed(tree):
+            if isinstance(tree, dict):
+                for key, value in tree.items():
+                    if key == "embedding":
+                        return np.asarray(value)
+                    found = find_embed(value)
+                    if found is not None:
+                        return found
+            return None
+
+        table = find_embed(
+            flax.serialization.to_state_dict(self.variables)
+        )
+        if table is None:
+            raise ValueError("Model has no embedding table")
+        return table
+
     def run_ocr(
         self, batch_data: np.ndarray, widths: np.ndarray
     ) -> Tuple[List[str], List[np.ndarray]]:
         logits, labels, lengths = self._forward(
-            jnp.asarray(batch_data), jnp.asarray(widths)
+            jnp.asarray(batch_data),
+            jnp.asarray(self.current_embed_id(), jnp.int32),
         )
         logits = np.asarray(logits)
         transcriptions = ctc.labels_to_strings(

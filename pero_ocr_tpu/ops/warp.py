@@ -121,6 +121,68 @@ def width_buckets(
 
 
 # ----------------------------------------------------------------------
+# On-device warp-field construction
+# ----------------------------------------------------------------------
+@functools.partial(jax.jit, static_argnames=("target_height", "bucket"))
+def build_fields_device(
+    baselines: jnp.ndarray,
+    heights: jnp.ndarray,
+    target_height: int,
+    bucket: int,
+) -> jnp.ndarray:
+    """Build (N, target_height, bucket, 2) warp fields ON DEVICE from
+    resampled baseline points — uploading ~KB of geometry instead of the
+    dense fields (the host builder ships ~10MB/page over the host link).
+
+    Args:
+        baselines: (N, P, 2) float32 baseline polylines, resampled to a
+            fixed point count P, ordered along the line.
+        heights: (N, 2) float32 [ascender, descender] (already scaled).
+
+    Semantics match :func:`pero_ocr_tpu.core.line_geometry.warp_field`
+    with piecewise-linear baseline interpolation; padded columns (beyond
+    each line's arc length) carry far-outside coordinates so they sample
+    the zero border."""
+
+    def one(bl, h):
+        p0 = bl[0]
+        p1 = bl[-1]
+        alpha = jnp.arctan2(p1[1] - p0[1], p1[0] - p0[0])
+        cos, sin = jnp.cos(alpha), jnp.sin(alpha)
+        rot = jnp.array([[cos, sin], [-sin, cos]])  # page -> chord frame
+        pts = bl @ rot.T
+
+        x = pts[:, 0]
+        y = pts[:, 1]
+        seg = jnp.hypot(jnp.diff(x), jnp.diff(y))
+        arc = jnp.concatenate([jnp.zeros(1), jnp.cumsum(seg)])
+        total = arc[-1]
+
+        scale = target_height / jnp.maximum(h[0] + h[1], 1e-6)
+        # Output column j sits at arc position j/scale.
+        t = jnp.arange(bucket, dtype=jnp.float32) / scale
+        valid = t <= total
+
+        xs = jnp.interp(t, arc, x)
+        ys = jnp.interp(t, arc, y)
+
+        dx = jnp.gradient(xs)
+        dy = jnp.gradient(ys)
+        norm = jnp.maximum(jnp.hypot(dx, dy), 1e-6)
+        nx = -dy / norm
+        ny = dx / norm
+
+        vert = jnp.linspace(-h[0], h[1], target_height)[:, None]
+        map_x = nx[None, :] * vert + xs[None, :]
+        map_y = ny[None, :] * vert + ys[None, :]
+        field = jnp.stack([map_x, map_y], axis=-1)  # chord frame
+        field = field @ rot  # back to page frame (inverse of rot.T)
+        return jnp.where(valid[None, :, None], field, -1e6)
+
+    return jax.vmap(one)(baselines.astype(jnp.float32), heights.astype(jnp.float32))
+
+
+# ----------------------------------------------------------------------
 # Pallas TPU kernel
 # ----------------------------------------------------------------------
 def _warp_kernel(img_ref, field_ref, out_ref):

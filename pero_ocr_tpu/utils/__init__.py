@@ -1,0 +1,1 @@
+from pero_ocr_tpu.utils.paths import compose_path  # noqa: F401
