@@ -125,7 +125,18 @@ def force_align(
     states, char_index = complete_state_seq(symbols_seq, blank_symbol)
     skip_ok = _skip_allowed(states)
     gathered = np.asarray(neg_logprobs)[:, states]
-    path = viterbi_ctc(gathered, skip_ok)
+
+    path = None
+    try:
+        from pero_ocr_tpu.utils.native import native_viterbi_ctc
+
+        path = native_viterbi_ctc(gathered, skip_ok)
+    except ValueError:
+        raise
+    except Exception:
+        path = None
+    if path is None:
+        path = viterbi_ctc(gathered, skip_ok)
     if return_seq_positions:
         return [int(char_index[s]) for s in path]
     return [int(states[s]) for s in path]

@@ -58,8 +58,36 @@ def _dp(source, target, sub_cost, ins_cost, del_cost):
 
 
 def levenshtein_distance(source, target, sub_cost=1, ins_cost=1, del_cost=1):
+    if sub_cost == 1 and ins_cost == 1 and del_cost == 1:
+        # Unit costs take the native C++ fast path when available.
+        native = _native_unit_distance(source, target)
+        if native is not None:
+            return native
     dist, _ = _dp(source, target, sub_cost, ins_cost, del_cost)
     return dist[-1]
+
+
+def _native_unit_distance(source, target) -> Optional[int]:
+    try:
+        from pero_ocr_tpu.utils.native import native_levenshtein
+
+        src_ids, tgt_ids = _symbols_to_ids(source, target)
+        if src_ids is None:
+            return None
+        return native_levenshtein(src_ids, tgt_ids)
+    except Exception:
+        return None
+
+
+def _symbols_to_ids(source, target):
+    """Map arbitrary hashable symbols onto int32 ids (shared table)."""
+    table = {}
+    try:
+        src = [table.setdefault(s, len(table)) for s in source]
+        tgt = [table.setdefault(s, len(table)) for s in target]
+    except TypeError:
+        return None, None
+    return src, tgt
 
 
 def _walk(backtrack: np.ndarray) -> List[int]:

@@ -1,0 +1,171 @@
+"""ctypes bindings for the native host runtime (native/libperotpu.so).
+
+Every function has a pure-Python/scipy fallback at its call site; this
+module returns None gracefully when the library is absent.  Build with
+``make -C native``; the loader also triggers a build on first use when a
+compiler is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+import threading
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_LIB_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+)
+_LIB_PATH = os.path.join(_LIB_DIR, "libperotpu.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_load_attempted = False
+
+
+def _try_build() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-C", _LIB_DIR],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return os.path.exists(_LIB_PATH)
+    except Exception as e:
+        logger.debug("native build failed: %s", e)
+        return False
+
+
+def get_library() -> Optional[ctypes.CDLL]:
+    global _lib, _load_attempted
+    with _lock:
+        if _lib is not None or _load_attempted:
+            return _lib
+        _load_attempted = True
+        if not os.path.exists(_LIB_PATH):
+            if not _try_build():
+                logger.info(
+                    "native library unavailable; using Python fallbacks"
+                )
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError as e:
+            logger.warning("failed to load %s: %s", _LIB_PATH, e)
+            return None
+
+        lib.cc_label_u8.restype = ctypes.c_int32
+        lib.cc_label_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.levenshtein_i32.restype = ctypes.c_int32
+        lib.levenshtein_i32.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+        ]
+        lib.levenshtein_batch_i32.restype = None
+        lib.levenshtein_batch_i32.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.viterbi_ctc_f32.restype = ctypes.c_int32
+        lib.viterbi_ctc_f32.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+        ]
+        _lib = lib
+        return _lib
+
+
+def _ptr(arr: np.ndarray, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def native_label(mask: np.ndarray) -> Optional[Tuple[np.ndarray, int]]:
+    """8-connectivity components; (labels, count) or None."""
+    lib = get_library()
+    if lib is None:
+        return None
+    mask = np.ascontiguousarray(mask, dtype=np.uint8)
+    h, w = mask.shape
+    labels = np.empty((h, w), dtype=np.int32)
+    count = lib.cc_label_u8(
+        _ptr(mask, ctypes.c_uint8), h, w, _ptr(labels, ctypes.c_int32)
+    )
+    return labels, int(count)
+
+
+def native_levenshtein(a: Sequence[int], b: Sequence[int]) -> Optional[int]:
+    lib = get_library()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(a, dtype=np.int32)
+    b = np.ascontiguousarray(b, dtype=np.int32)
+    return int(
+        lib.levenshtein_i32(
+            _ptr(a, ctypes.c_int32), len(a), _ptr(b, ctypes.c_int32), len(b)
+        )
+    )
+
+
+def native_levenshtein_batch(
+    seqs_a: List[Sequence[int]], seqs_b: List[Sequence[int]]
+) -> Optional[np.ndarray]:
+    lib = get_library()
+    if lib is None:
+        return None
+    offsets_a = np.zeros(len(seqs_a) + 1, np.int32)
+    offsets_b = np.zeros(len(seqs_b) + 1, np.int32)
+    np.cumsum([len(s) for s in seqs_a], out=offsets_a[1:])
+    np.cumsum([len(s) for s in seqs_b], out=offsets_b[1:])
+    data_a = np.ascontiguousarray(
+        np.concatenate([np.asarray(s, np.int32) for s in seqs_a])
+        if offsets_a[-1] else np.zeros(1, np.int32)
+    )
+    data_b = np.ascontiguousarray(
+        np.concatenate([np.asarray(s, np.int32) for s in seqs_b])
+        if offsets_b[-1] else np.zeros(1, np.int32)
+    )
+    out = np.empty(len(seqs_a), np.int32)
+    lib.levenshtein_batch_i32(
+        _ptr(data_a, ctypes.c_int32), _ptr(offsets_a, ctypes.c_int32),
+        _ptr(data_b, ctypes.c_int32), _ptr(offsets_b, ctypes.c_int32),
+        len(seqs_a), _ptr(out, ctypes.c_int32),
+    )
+    return out
+
+
+def native_viterbi_ctc(
+    neg_logprobs_states: np.ndarray, skip_ok: np.ndarray
+) -> Optional[np.ndarray]:
+    """Viterbi path over (T, S) gathered costs; None on lib-missing,
+    raises ValueError when no valid path exists."""
+    lib = get_library()
+    if lib is None:
+        return None
+    costs = np.ascontiguousarray(neg_logprobs_states, dtype=np.float32)
+    # Clamp +inf to the library's finite INF sentinel.
+    costs = np.minimum(costs, 1e30)
+    skip = np.ascontiguousarray(skip_ok, dtype=np.uint8)
+    t, s = costs.shape
+    path = np.empty(t, dtype=np.int32)
+    rc = lib.viterbi_ctc_f32(
+        _ptr(costs, ctypes.c_float), t, s,
+        _ptr(skip, ctypes.c_uint8), _ptr(path, ctypes.c_int32),
+    )
+    if rc != 0:
+        raise ValueError(
+            "It was not possible to align the states with the logits, "
+            "best path has cost of np.inf"
+        )
+    return path

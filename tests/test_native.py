@@ -1,0 +1,103 @@
+"""Native C++ runtime kernels vs Python/scipy references (skipped when the
+library can't be built)."""
+
+import numpy as np
+import pytest
+
+from pero_ocr_tpu.utils import native
+
+
+pytestmark = pytest.mark.skipif(
+    native.get_library() is None, reason="native library unavailable"
+)
+
+
+def _canonical(labels):
+    seen = {}
+    out = np.zeros_like(labels)
+    for idx in zip(*np.nonzero(labels)):
+        out[idx] = seen.setdefault(labels[idx], len(seen) + 1)
+    return out
+
+
+class TestConnectedComponents:
+    def test_matches_scipy_partition(self):
+        from scipy import ndimage
+
+        rng = np.random.default_rng(1)
+        mask = (rng.random((120, 180)) > 0.7).astype(np.uint8)
+        labels_n, n_n = native.native_label(mask)
+        labels_s, n_s = ndimage.label(mask, structure=np.ones((3, 3)))
+        assert n_n == n_s
+        np.testing.assert_array_equal(_canonical(labels_n), _canonical(labels_s))
+
+    def test_empty_mask(self):
+        labels, n = native.native_label(np.zeros((5, 5), np.uint8))
+        assert n == 0
+        assert not labels.any()
+
+    def test_full_mask(self):
+        labels, n = native.native_label(np.ones((5, 5), np.uint8))
+        assert n == 1
+
+
+class TestLevenshtein:
+    @pytest.mark.parametrize(
+        "a,b,d",
+        [([1, 2, 3], [1, 2, 3], 0), ([1, 2], [2, 1], 2), ([], [1, 2], 2),
+         ([1, 2, 3], [1, 3], 1)],
+    )
+    def test_cases(self, a, b, d):
+        assert native.native_levenshtein(a, b) == d
+
+    def test_batch(self):
+        out = native.native_levenshtein_batch(
+            [[1, 2, 3], [4]], [[1, 3], [4]]
+        )
+        assert out.tolist() == [1, 0]
+
+    def test_integrated_into_sequence_alignment(self):
+        from pero_ocr_tpu.sequence_alignment import levenshtein_distance
+
+        assert levenshtein_distance(list("kitten"), list("sitting")) == 3
+        # Works for arbitrary hashables through the id-mapping path.
+        assert levenshtein_distance(["ab", "cd"], ["ab", "xy"]) == 1
+
+
+class TestNativeViterbi:
+    def test_matches_python(self):
+        from pero_ocr_tpu.core.force_alignment import (
+            _skip_allowed,
+            complete_state_seq,
+            viterbi_ctc,
+        )
+
+        rng = np.random.default_rng(2)
+        costs = rng.uniform(0.1, 4.0, size=(30, 7)).astype(np.float32)
+        states, _ = complete_state_seq([1, 2, 2, 3], 0)
+        skip = _skip_allowed(states)
+        gathered = costs[:, states]
+        p_native = native.native_viterbi_ctc(gathered, skip)
+        p_python = viterbi_ctc(gathered.astype(np.float64), skip)
+        idx = np.arange(len(p_native))
+        assert gathered[idx, p_native].sum() == pytest.approx(
+            gathered[idx, p_python].sum(), abs=1e-3
+        )
+
+    def test_impossible_raises(self):
+        from pero_ocr_tpu.core.force_alignment import (
+            _skip_allowed,
+            complete_state_seq,
+        )
+
+        states, _ = complete_state_seq([1, 1], 0)  # needs >= 3 frames
+        skip = _skip_allowed(states)
+        costs = np.full((2, len(states)), 1.0, np.float32)
+        # make unreachable states infinite as force_align would
+        gathered = costs.copy()
+        with pytest.raises(ValueError):
+            # T=2 < needed 3; final states unreachable only through the
+            # (stay/advance) chain — emulate force_align's call.
+            from pero_ocr_tpu.core.force_alignment import force_align
+
+            force_align(np.full((2, 3), 1.0), [1, 1], 0)
