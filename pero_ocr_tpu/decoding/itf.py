@@ -106,6 +106,23 @@ def decoder_factory(
         return CTCPrefixLogRawNumpyDecoder(
             full_characters, k, lm, lm_scale, insertion_bonus=insertion_bonus
         )
+    if decoder_type == "TPU-BEAM":
+        # Vectorized on-TPU beam search: whole pages decode in one scan
+        # (this framework's replacement for the per-line host decoder).
+        from pero_ocr_tpu.decoding.tpu_decoder import TPUBeamSearchDecoder
+
+        k = config.getint("BEAM_SIZE", fallback=8)
+        lm_scale = config.getfloat("LM_SCALE", fallback=1.0)
+        insertion_bonus = config.getfloat("INSERTION_BONUS", fallback=0.0)
+        max_len = config.getint("MAX_LEN", fallback=256)
+        wrapper = lm_factory(config, full_characters[:-1], config_path=config_path)
+        lm = None
+        if wrapper is not None:
+            lm = (wrapper._model, wrapper._variables)
+        return TPUBeamSearchDecoder(
+            full_characters, k=k, lm=lm, lm_scale=lm_scale,
+            insertion_bonus=insertion_bonus, max_len=max_len,
+        )
     if decoder_type == "GREEDY":
         return GreedyDecoder(full_characters)
     raise ValueError(f"Unknown decoder type: '{decoder_type}'")

@@ -546,6 +546,8 @@ class PageDecoder:
 
     def process_page(self, page_layout: PageLayout) -> PageLayout:
         self.last_h = None
+        if hasattr(self.decoder, "decode_batch") and not self.continue_lines:
+            return self._process_page_batched(page_layout)
         for line in page_layout.lines_iterator():
             try:
                 line.transcription = self.decode_line(line)
@@ -554,6 +556,49 @@ class PageDecoder:
                     "Failed to process line %s of page %s.",
                     line.id, page_layout.id, exc_info=True,
                 )
+        return page_layout
+
+    def _process_page_batched(self, page_layout: PageLayout) -> PageLayout:
+        """Decode ALL lines of the page through the vectorized on-TPU beam
+        search: pad frame counts into buckets and run one decode_batch per
+        bucket (the reference decodes line-by-line with per-frame LM round
+        trips, page_parser.py:108-156)."""
+        to_decode = []
+        for line in page_layout.lines_iterator():
+            self.lines_examined += 1
+            try:
+                logits = prepare_dense_logits(line)
+            except MissingLogits:
+                continue
+            if self.line_confidence_threshold is not None and \
+                    line_confident_enough(logits, self.line_confidence_threshold):
+                continue
+            to_decode.append((line, logits))
+        if not to_decode:
+            return page_layout
+
+        t0 = time.time()
+        buckets: dict = {}
+        for line, logits in to_decode:
+            bucket = max(128, int(math.ceil(logits.shape[0] / 128.0) * 128))
+            buckets.setdefault(bucket, []).append((line, logits))
+
+        for bucket, items in buckets.items():
+            c = items[0][1].shape[1]
+            batch = np.zeros((len(items), bucket, c), np.float32)
+            lengths = np.zeros(len(items), np.int32)
+            for i, (_, logits) in enumerate(items):
+                t = min(logits.shape[0], bucket)
+                batch[i, :t] = logits[:t]
+                # Padding frames must stay normalized; fill with blank-sure.
+                batch[i, t:, :] = -30.0
+                batch[i, t:, -1] = 0.0
+                lengths[i] = t
+            bags = self.decoder.decode_batch(batch, lengths)
+            for (line, _), bag in zip(items, bags):
+                line.transcription = bag.best_hyp()
+        self.seconds_decoding += time.time() - t0
+        self.lines_decoded += len(to_decode)
         return page_layout
 
     def decode_line(self, line: TextLine) -> str:

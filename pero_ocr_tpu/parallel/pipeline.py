@@ -72,12 +72,16 @@ class TPUPagePipeline:
         rec_apply = recognizer_model.apply
 
         @jax.jit
-        def stage_a(canvas_u8):
-            """canvas_u8: (H', W', 3) uint8 downsampled page."""
-            images = canvas_u8[None].astype(jnp.float32) / 255.0
-            maps = pn_apply(parsenet_variables, images)[0]
-            baselines_mask, connected, heights_map, separator = _postprocess_maps(
-                maps, detection_threshold, line_end_weight
+        def stage_a(canvases_u8):
+            """canvases_u8: (PB, H', W', 3) uint8 downsampled pages."""
+            images = canvases_u8.astype(jnp.float32) / 255.0
+            maps = pn_apply(parsenet_variables, images)
+
+            def post(m):
+                return _postprocess_maps(m, detection_threshold, line_end_weight)
+
+            baselines_mask, connected, heights_map, separator = jax.vmap(post)(
+                maps
             )
             return (
                 baselines_mask.astype(jnp.uint8),
@@ -90,20 +94,28 @@ class TPUPagePipeline:
         bucket = crop_bucket
 
         @jax.jit
-        def stage_b(page_u8, baselines, heights):
-            """page_u8: (H, W, 3) uint8; baselines: (N, P, 2) f32;
-            heights: (N, 2) f32.  Fields are built IN-GRAPH so only the
-            tiny geometry tensors cross the host link."""
-            fields = warp_ops.build_fields_device(
-                baselines, heights, crop_h, bucket
-            )
-            crops = warp_ops.warp_lines_xla(
-                page_u8.astype(jnp.float32), fields
-            )
+        def stage_b(pages_u8, baselines, heights):
+            """pages_u8: (PB, H, W, 3) uint8; baselines: (PB, N, P, 2);
+            heights: (PB, N, 2).  Fields are built IN-GRAPH so only tiny
+            geometry tensors cross the host link; all PB*N line crops feed
+            the recognizer as one batch."""
+            pb, n = baselines.shape[:2]
+
+            def warp_one(page, bl, h):
+                fields = warp_ops.build_fields_device(bl, h, crop_h, bucket)
+                return warp_ops.warp_lines_xla(
+                    page.astype(jnp.float32), fields
+                )
+
+            crops = jax.vmap(warp_one)(pages_u8, baselines, heights)
+            crops = crops.reshape((pb * n,) + crops.shape[2:])
             logits = rec_apply(recognizer_variables, crops / 255.0)
             valid = jnp.full((crops.shape[0],), logits.shape[1], jnp.int32)
             labels, lengths = ctc_ops.greedy_ctc_labels(logits, valid)
-            return labels, lengths
+            return (
+                labels.reshape(pb, n, -1),
+                lengths.reshape(pb, n),
+            )
 
         self._stage_a = stage_a
         self._stage_b = stage_b
@@ -188,8 +200,14 @@ class TPUPagePipeline:
         self,
         pages: Iterable[np.ndarray],
         lines_override: Optional[Callable[[np.ndarray], Tuple[list, list]]] = None,
+        page_batch: int = 4,
     ) -> Iterator[PageResult]:
-        """Process a stream of pages with one-page lookahead overlap.
+        """Process a stream of pages with one-batch lookahead overlap.
+
+        Pages are grouped `page_batch` at a time into single stage-A /
+        stage-B dispatches — program switches and transfers amortize over
+        the batch (the tunnel charges ~70ms per program alternation).
+        All pages within one `run` call must share a shape.
 
         ``lines_override(page) -> (baselines, heights)`` replaces the
         CNN line detection (used by benchmarks / classical-layout
@@ -199,40 +217,91 @@ class TPUPagePipeline:
         if n == 0:
             return
 
-        # Dispatch stage A for page 0.
-        device_pages = [None] * n
-        stage_a_out = [None] * n
+        from pero_ocr_tpu.utils.timing import stage_timer
 
-        def dispatch_a(i):
-            device_pages[i] = jnp.asarray(pages[i])
-            stage_a_out[i] = self._stage_a(jnp.asarray(self._canvas(pages[i])))
+        batches = [
+            list(range(s, min(s + page_batch, n)))
+            for s in range(0, n, page_batch)
+        ]
+
+        device_pages: dict = {}
+        stage_a_out: dict = {}
+
+        def dispatch_a(batch_idx):
+            ids = batches[batch_idx]
+            with stage_timer("pipeline/upload+dispatch_a"):
+                # Pad the final batch by repeating its last page so every
+                # dispatch reuses the same compiled shape.
+                padded = ids + [ids[-1]] * (page_batch - len(ids))
+                stack = np.stack([pages[i] for i in padded])
+                canvases = np.stack([self._canvas(pages[i]) for i in padded])
+                device_pages[batch_idx] = jnp.asarray(stack)
+                stage_a_out[batch_idx] = self._stage_a(jnp.asarray(canvases))
 
         dispatch_a(0)
-        for i in range(n):
-            if i + 1 < n:
-                dispatch_a(i + 1)  # overlaps with host work below
+        for batch_idx, ids in enumerate(batches):
+            if batch_idx + 1 < len(batches):
+                dispatch_a(batch_idx + 1)  # overlaps host work below
 
-            masks = jax.tree_util.tree_map(np.asarray, stage_a_out[i])
-            baselines_mask, connected, heights_map, _ = masks
-
-            if lines_override is not None:
-                b_list, h_list = lines_override(pages[i])
-            else:
-                b_list, h_list = self._lines_from_masks(
-                    baselines_mask, connected, heights_map
+            with stage_timer("pipeline/stage_a_sync"):
+                masks = jax.tree_util.tree_map(
+                    np.asarray, stage_a_out[batch_idx]
                 )
+            baselines_masks, connecteds, heights_maps, _ = masks
 
-            baselines, heights, widths = self._geometry(b_list, h_list)
-            if baselines is None:
-                yield PageResult(i, b_list, h_list, None, None, None)
-                stage_a_out[i] = device_pages[i] = None
+            with stage_timer("pipeline/host_geometry"):
+                page_geoms = []
+                for slot, i in enumerate(ids):
+                    if lines_override is not None:
+                        b_list, h_list = lines_override(pages[i])
+                    else:
+                        b_list, h_list = self._lines_from_masks(
+                            baselines_masks[slot], connecteds[slot],
+                            heights_maps[slot],
+                        )
+                    page_geoms.append(
+                        (b_list, h_list) + self._geometry(b_list, h_list)
+                    )
+
+            any_lines = any(g[2] is not None for g in page_geoms)
+            if not any_lines:
+                for i, g in zip(ids, page_geoms):
+                    yield PageResult(i, g[0], g[1], None, None, None)
+                device_pages.pop(batch_idx, None)
+                stage_a_out.pop(batch_idx, None)
                 continue
 
-            labels, lengths = self._stage_b(
-                device_pages[i], jnp.asarray(baselines), jnp.asarray(heights)
-            )
-            yield PageResult(
-                i, b_list, h_list,
-                np.asarray(labels), np.asarray(lengths), widths,
-            )
-            stage_a_out[i] = device_pages[i] = None
+            with stage_timer("pipeline/stage_b"):
+                zeros_b = np.zeros(
+                    (self.max_lines, self.BASELINE_POINTS, 2), np.float32
+                )
+                ones_h = np.ones((self.max_lines, 2), np.float32)
+                bl = np.stack(
+                    [
+                        g[2] if g[2] is not None else zeros_b
+                        for g in page_geoms
+                    ]
+                    + [zeros_b] * (page_batch - len(ids))
+                )
+                hh = np.stack(
+                    [
+                        g[3] if g[3] is not None else ones_h
+                        for g in page_geoms
+                    ]
+                    + [ones_h] * (page_batch - len(ids))
+                )
+                labels, lengths = self._stage_b(
+                    device_pages[batch_idx], jnp.asarray(bl), jnp.asarray(hh)
+                )
+                labels = np.asarray(labels)
+                lengths = np.asarray(lengths)
+
+            for slot, (i, g) in enumerate(zip(ids, page_geoms)):
+                if g[2] is None:
+                    yield PageResult(i, g[0], g[1], None, None, None)
+                else:
+                    yield PageResult(
+                        i, g[0], g[1], labels[slot], lengths[slot], g[4]
+                    )
+            device_pages.pop(batch_idx, None)
+            stage_a_out.pop(batch_idx, None)

@@ -211,3 +211,59 @@ class TestSorters:
         img = np.zeros((400, 600, 3), np.uint8)
         layout = NaiveRegionSorter().process_page(img, layout)
         assert [r.id for r in layout.regions] == ["high", "low"]
+
+
+class TestTPUBeamDecoderStage:
+    def test_tpu_beam_decoder_in_pipeline(self, ocr_json):
+        """DECODER TYPE=TPU-BEAM decodes the whole page in batched scans."""
+        img = make_synthetic_page(n_lines=2)
+        config = make_config(ocr_json, run_decoder=True)
+        config["DECODER"] = {
+            "TYPE": "TPU-BEAM",
+            "BEAM_SIZE": "4",
+            "LM_SCALE": "1.0",
+            "USE_CPU": "yes",
+        }
+        parser = PageParser(config)
+        layout = PageLayout(id="test.jpg", page_size=img.shape[:2])
+        layout = parser.process_page(img, layout)
+        lines = list(layout.lines_iterator())
+        assert lines
+        for line in lines:
+            assert isinstance(line.transcription, str)
+        assert parser.decoder.lines_decoded == len(lines)
+
+    def test_tpu_beam_matches_host_beam_in_pipeline(self, ocr_json):
+        """Same page decoded by host FAST-LOG-RAW (unpruned semantics
+        differ only via the -10 cutoff) and TPU-BEAM should mostly agree
+        on best hypotheses for confident logits."""
+        img = make_synthetic_page(n_lines=2)
+        base = make_config(ocr_json)
+        parser = PageParser(base)
+        layout = PageLayout(id="t.jpg", page_size=img.shape[:2])
+        layout = parser.process_page(img, layout)
+
+        from pero_ocr_tpu.decoding.decoders import (
+            BLANK_SYMBOL,
+            CTCPrefixLogRawNumpyDecoder,
+        )
+        from pero_ocr_tpu.decoding.tpu_decoder import TPUBeamSearchDecoder
+        from pero_ocr_tpu.document.page_parser import prepare_dense_logits
+
+        chars = list(next(layout.lines_iterator()).characters)
+        letters = chars[:-1] + [BLANK_SYMBOL]
+        # Like-for-like: disable the host's lossy -10 pruning (the TPU
+        # decoder always scores the full vocabulary).
+        host = CTCPrefixLogRawNumpyDecoder(
+            letters, k=4,
+            relevant_logits_selector=lambda l: (np.arange(len(l)),),
+        )
+        tpu = TPUBeamSearchDecoder(letters, k=4, max_len=512)
+
+        for line in layout.lines_iterator():
+            logits = prepare_dense_logits(line)
+            host_best = host(logits).best_hyp()
+            tpu_best = tpu.decode_batch(
+                logits[None].astype(np.float32)
+            )[0].best_hyp()
+            assert host_best == tpu_best
