@@ -213,3 +213,50 @@ class TestCTCEngineIntegration:
         assert scipy.sparse.issparse(logits[0])
         assert logits[0].shape[1] == 3  # a, b, blank
         assert coords[0] == [16, (32 + 100) // 2]
+
+
+class TestNarrowLabel:
+    def test_repeated_run_collapsed_to_best_frame(self):
+        from pero_ocr_tpu.ocr.postprocess import narrow_label
+
+        blank = 3
+        # frames: a a a b  (a=0, b=1); best 'a' frame is 1.
+        logit = np.array([
+            [1.0, 0, 0, 0],
+            [5.0, 0, 0, 0],
+            [2.0, 0, 0, 0],
+            [0, 9.0, 0, 0],
+        ])
+        label = [0, 0, 0, 1]
+        out = narrow_label(label, logit, blank)
+        assert out == [blank, 0, blank, 1]
+
+    def test_single_frames_unchanged(self):
+        from pero_ocr_tpu.ocr.postprocess import narrow_label
+
+        blank = 3
+        logit = np.zeros((4, 4))
+        label = [0, blank, 1, blank]
+        assert narrow_label(label, logit, blank) == [0, blank, 1, blank]
+
+    def test_liberal_fill(self):
+        from pero_ocr_tpu.ocr.postprocess import narrow_label
+
+        blank = 3
+        logit = np.array([[1.0, 0, 0, 0], [5.0, 0, 0, 0]])
+        out = narrow_label([0, 0], logit, blank, on_one_liberal=True)
+        assert out == [blank - 1, 0]
+
+    def test_blank_separated_runs_independent(self):
+        from pero_ocr_tpu.ocr.postprocess import narrow_label
+
+        blank = 3
+        logit = np.array([
+            [2.0, 0, 0, 0],
+            [1.0, 0, 0, 0],
+            [0, 0, 0, 0],
+            [1.0, 0, 0, 0],
+            [4.0, 0, 0, 0],
+        ])
+        out = narrow_label([0, 0, blank, 0, 0], logit, blank)
+        assert out == [0, blank, blank, blank, 0]

@@ -1,0 +1,119 @@
+"""Device-resident page pipeline tests (CPU backend, tiny models)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pero_ocr_tpu.models.parsenet import ParseNet
+from pero_ocr_tpu.models.recognizer import CTCRecognizer, RecognizerSpec
+from pero_ocr_tpu.parallel.pipeline import TPUPagePipeline
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    parsenet = ParseNet(base_features=4, depth=2)
+    pn_params = parsenet.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
+    )
+    spec = RecognizerSpec(
+        num_classes=8, line_height=16, conv_features=(4, 8),
+        subsampling=2, lstm_layers=1, lstm_features=8,
+    )
+    recognizer = CTCRecognizer(spec)
+    rec_params = recognizer.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 64, 3), jnp.float32)
+    )
+    return TPUPagePipeline(
+        parsenet, pn_params, recognizer, rec_params,
+        downsample=4, crop_height=16, crop_bucket=256, max_lines=8,
+    )
+
+
+def synthetic_pages(n, h=256, w=384):
+    rng = np.random.default_rng(0)
+    pages = []
+    for _ in range(n):
+        img = np.full((h, w, 3), 240, np.uint8)
+        for r in range(4):
+            y = 40 + r * 50
+            img[y - 12 : y - 2, 30 : w - 40] = 50
+        pages.append(img)
+    return pages
+
+
+def fixed_lines(page):
+    baselines, heights = [], []
+    for r in range(4):
+        y = 40 + r * 50
+        baselines.append(
+            np.array([[30, y], [page.shape[1] - 40, y]], float)
+        )
+        heights.append([12.0, 4.0])
+    return baselines, heights
+
+
+class TestPipeline:
+    def test_run_with_override(self, pipeline):
+        pages = synthetic_pages(5)
+        results = list(
+            pipeline.run(pages, lines_override=fixed_lines, page_batch=2)
+        )
+        assert len(results) == 5
+        assert [r.page_index for r in results] == list(range(5))
+        for r in results:
+            assert len(r.baselines) == 4
+            assert r.labels is not None
+            assert r.labels.shape[0] == pipeline.max_lines
+            assert r.label_lengths.shape[0] == pipeline.max_lines
+
+    def test_run_cnn_line_detection_path(self, pipeline):
+        """Without the override, lines come from the (random-weight)
+        ParseNet maps; must not crash regardless of what it detects."""
+        pages = synthetic_pages(2)
+        results = list(pipeline.run(pages, page_batch=2))
+        assert len(results) == 2
+
+    def test_empty_page_stream(self, pipeline):
+        assert list(pipeline.run([], lines_override=fixed_lines)) == []
+
+    def test_device_fields_match_host_warp(self, pipeline):
+        """On-device warp-field construction must agree with the host
+        builder (linear vs cubic interpolation tolerance) for straight
+        and curved baselines."""
+        from pero_ocr_tpu.core import line_geometry
+        from pero_ocr_tpu.ops import warp
+
+        # Straight line: exact agreement expected.
+        bl = np.linspace([20, 50], [220, 54], 16).astype(np.float32)
+        heights = np.array([12.0, 4.0], np.float32)
+        host = line_geometry.warp_field(bl, heights, 16)
+        dev = np.asarray(
+            warp.build_fields_device(
+                jnp.asarray(bl[None]), jnp.asarray(heights[None]), 16, 256
+            )
+        )[0]
+        w = min(host.shape[1], 256)
+        np.testing.assert_allclose(
+            dev[:, :w - 2], host[:, :w - 2], atol=1.5
+        )
+        # Padded columns are far outside.
+        assert np.all(dev[:, w + 2 :] < -1e5)
+
+    def test_device_fields_curved(self, pipeline):
+        from pero_ocr_tpu.core import line_geometry
+        from pero_ocr_tpu.ops import warp
+
+        xs = np.linspace(10, 300, 16)
+        ys = 80 + 10 * np.sin(np.linspace(0, np.pi, 16))
+        bl = np.stack([xs, ys], 1).astype(np.float32)
+        heights = np.array([15.0, 5.0], np.float32)
+        host = line_geometry.warp_field(bl, heights, 20)
+        dev = np.asarray(
+            warp.build_fields_device(
+                jnp.asarray(bl[None]), jnp.asarray(heights[None]), 20, 512
+            )
+        )[0]
+        w = min(host.shape[1], 512) - 4
+        # Curved: cubic (host) vs piecewise-linear (device) differ slightly.
+        assert np.median(np.abs(dev[:, :w] - host[:, :w])) < 1.0
