@@ -42,6 +42,9 @@ class RecognizerSpec:
     @staticmethod
     def from_json_dict(cfg: dict, num_classes: int) -> "RecognizerSpec":
         spec = cfg.get("net_spec", {})
+        dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
+            spec.get("dtype", "bfloat16")
+        ]
         return RecognizerSpec(
             num_classes=num_classes,
             line_height=cfg.get("line_px_height", 32),
@@ -51,6 +54,7 @@ class RecognizerSpec:
             lstm_features=spec.get("lstm_features", 256),
             embed_num=cfg.get("embed_num", 0) or 0,
             embed_dim=spec.get("embed_dim", 64),
+            dtype=dtype,
         )
 
 

