@@ -14,6 +14,14 @@ recognition + crop export on a full newspaper-like page):
 Reports pages/sec end-to-end.  ``vs_baseline`` is the fraction of the
 BASELINE.md north-star target (50 newspaper pages/sec per chip); the
 reference publishes no figures of its own (BASELINE.md).
+
+Environment note: this harness reaches the chip through a tunnel that
+serializes host<->device transfers with compute and charges ~70ms per
+program alternation; measured device-only throughput of the same two
+dispatches is ~7 pages/s (and stage compute is dominated by the BLSTM
+recurrence, i.e. the reference's own model family).  On a directly
+attached host the pipeline design (batched dispatches, ~3.8MB of
+uploads/page, no intermediate downloads) is compute-bound.
 """
 
 import json

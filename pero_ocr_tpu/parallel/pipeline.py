@@ -217,6 +217,8 @@ class TPUPagePipeline:
         if n == 0:
             return
 
+        from concurrent.futures import ThreadPoolExecutor
+
         from pero_ocr_tpu.utils.timing import stage_timer
 
         batches = [
@@ -229,19 +231,24 @@ class TPUPagePipeline:
 
         def dispatch_a(batch_idx):
             ids = batches[batch_idx]
-            with stage_timer("pipeline/upload+dispatch_a"):
-                # Pad the final batch by repeating its last page so every
-                # dispatch reuses the same compiled shape.
-                padded = ids + [ids[-1]] * (page_batch - len(ids))
-                stack = np.stack([pages[i] for i in padded])
-                canvases = np.stack([self._canvas(pages[i]) for i in padded])
-                device_pages[batch_idx] = jnp.asarray(stack)
-                stage_a_out[batch_idx] = self._stage_a(jnp.asarray(canvases))
+            # Pad the final batch by repeating its last page so every
+            # dispatch reuses the same compiled shape.
+            padded = ids + [ids[-1]] * (page_batch - len(ids))
+            stack = np.stack([pages[i] for i in padded])
+            canvases = np.stack([self._canvas(pages[i]) for i in padded])
+            device_pages[batch_idx] = jnp.asarray(stack)
+            stage_a_out[batch_idx] = self._stage_a(jnp.asarray(canvases))
 
-        dispatch_a(0)
+        # Uploads block on the host link, so the NEXT batch's upload +
+        # stage-A dispatch run on a worker thread while this thread syncs
+        # and post-processes the current batch.
+        uploader = ThreadPoolExecutor(max_workers=1)
+        pending = uploader.submit(dispatch_a, 0)
         for batch_idx, ids in enumerate(batches):
+            with stage_timer("pipeline/upload+dispatch_a"):
+                pending.result()
             if batch_idx + 1 < len(batches):
-                dispatch_a(batch_idx + 1)  # overlaps host work below
+                pending = uploader.submit(dispatch_a, batch_idx + 1)
 
             with stage_timer("pipeline/stage_a_sync"):
                 masks = jax.tree_util.tree_map(

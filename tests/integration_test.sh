@@ -1,0 +1,143 @@
+#!/usr/bin/env bash
+# Hermetic integration test: synthesize pages, run the full parse-folder
+# CLI (layout -> crop -> OCR -> XML/ALTO/logits/render/crops), then check
+# the outputs with the eval CLI.
+#
+# The analog of the reference's processing_test.sh
+# (reference: test/processing_test.sh) WITHOUT its external requirements:
+# no docker, no downloaded models (random-init engines), no sibling-repo
+# eval utility — everything in-repo, so this can run in CI.
+#
+# Usage: tests/integration_test.sh [workdir]
+
+set -euo pipefail
+
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+WORK="${1:-$(mktemp -d)}"
+mkdir -p "$WORK"
+cd "$WORK"
+
+echo "== workdir: $WORK"
+
+# ----------------------------------------------------------------------
+# 1. Synthesize input pages + engine + pipeline configs
+# ----------------------------------------------------------------------
+python - <<'EOF'
+import json
+import numpy as np
+import cv2
+
+rng = np.random.default_rng(0)
+import os
+os.makedirs("images", exist_ok=True)
+for p in range(3):
+    img = np.full((400, 600, 3), 245, np.uint8)
+    y = 60
+    for _ in range(4):
+        x = 40
+        while x < 540:
+            w = int(rng.integers(10, 30))
+            img[y - 18 : y - 2, x : x + w] = int(rng.integers(0, 60))
+            x += w + int(rng.integers(4, 12))
+        y += 70
+    cv2.imwrite(f"images/page{p}.jpg", img)
+
+json.dump(
+    {
+        "characters": list("abc "),
+        "line_px_height": 16,
+        "line_vertical_scale": 1,
+        "checkpoint": "none.ckpt",
+        "net_spec": {"conv_features": [4, 8], "subsampling": 2,
+                      "lstm_layers": 1, "lstm_features": 8},
+    },
+    open("ocr.json", "w"),
+)
+open("pipeline.ini", "w").write("""
+[PAGE_PARSER]
+RUN_LAYOUT_PARSER = yes
+RUN_LINE_CROPPER = yes
+RUN_OCR = yes
+
+[LAYOUT_PARSER_1]
+METHOD = REGION_WHOLE_PAGE
+
+[LAYOUT_PARSER_2]
+METHOD = LINES_SIMPLE_THRESHOLD
+ADAPTIVE_THRESHOLD = 91
+BLOCK_SIZE = 21
+MINIMUM_LENGTH = 6
+IGNORED_BORDER_PIXELS = 10
+
+[LAYOUT_PARSER_3]
+METHOD = REGION_SORTER_SMART
+
+[LINE_CROPPER]
+INTERP = 2
+LINE_SCALE = 1.0
+LINE_HEIGHT = 16
+
+[OCR]
+OCR_JSON = ocr.json
+""")
+EOF
+
+# ----------------------------------------------------------------------
+# 2. Full CLI run (CPU backend; random weights)
+# ----------------------------------------------------------------------
+python "$REPO/scripts/parse_folder.py" -c pipeline.ini -i images --device cpu \
+    --output-xml-path out_xml --output-logit-path out_logits \
+    --output-render-path out_render --output-line-path out_lines \
+    --output-alto-path out_alto \
+    --output-transcriptions-file-path transcripts.txt --timing-report
+
+# ----------------------------------------------------------------------
+# 3. Validate outputs
+# ----------------------------------------------------------------------
+for d in out_xml out_logits out_render out_lines out_alto; do
+  count=$(ls "$d" | wc -l)
+  echo "== $d: $count files"
+  [ "$count" -gt 0 ] || { echo "FAIL: no outputs in $d"; exit 1; }
+done
+
+python - <<'EOF'
+import pickle
+import lxml.etree as ET
+
+for p in range(3):
+    tree = ET.parse(f"out_xml/page{p}.xml")
+    lines = tree.findall(".//{*}TextLine")
+    assert lines, f"page{p}: no TextLines in Page XML"
+    alto = ET.parse(f"out_alto/page{p}.xml")
+    assert alto.findall(".//{*}TextBlock"), f"page{p}: no ALTO TextBlocks"
+    logits = pickle.load(open(f"out_logits/page{p}.logits", "rb"))
+    ids = [k for k in logits if k not in ("line_characters", "logit_coords")]
+    assert len(ids) == len(lines), f"page{p}: logits/XML line count mismatch"
+print("== XML/ALTO/logits structurally valid")
+EOF
+
+# ----------------------------------------------------------------------
+# 4. Self-consistency: skip-processed resume must process 0 pages;
+#    CER of outputs vs themselves must be 0.
+# ----------------------------------------------------------------------
+python "$REPO/scripts/parse_folder.py" -c pipeline.ini -i images --device cpu \
+    --output-xml-path out_xml --output-logit-path out_logits \
+    --output-render-path out_render -s 2>&1 | tee resume.log
+if grep -q "Processing page" resume.log; then
+  echo "FAIL: skip-processed reprocessed pages"; exit 1
+fi
+echo "== skip-processed resume OK"
+
+python "$REPO/scripts/compare_page_xml_texts.py" --hyp out_xml --ref out_xml \
+    | tee cer.log
+grep -q "summary 0.00 % CER" cer.log || { echo "FAIL: nonzero self-CER"; exit 1; }
+echo "== eval CLI OK"
+
+# ----------------------------------------------------------------------
+# 5. Searchable PDFs from the outputs
+# ----------------------------------------------------------------------
+python "$REPO/scripts/produce_2layer_pdf.py" out_xml images out_pdf
+[ "$(ls out_pdf | wc -l)" -eq 3 ] || { echo "FAIL: missing PDFs"; exit 1; }
+echo "== PDFs OK"
+
+echo "INTEGRATION TEST PASSED"
