@@ -100,6 +100,59 @@ def shard_train_state(state: TrainState, mesh: Mesh) -> TrainState:
     return TrainState(params, opt_state, step)
 
 
+# ----------------------------------------------------------------------
+# Character-LM training (for the beam-search rescoring LM; the reference
+# consumes an externally trained brnolm model, decoding_itf.py:27-46 —
+# here the LM trains in-framework and exports to the itf checkpoint
+# format: msgpack params + JSON sidecar spec).
+# ----------------------------------------------------------------------
+def lm_loss_fn(model, params, tokens: jnp.ndarray) -> jnp.ndarray:
+    """Next-token NLL over (B, T) sequences; position t predicts t+1."""
+    from pero_ocr_tpu.models.charlm import sequence_logprobs
+
+    logprobs = sequence_logprobs(model, params, tokens[:, :-1])
+    targets = tokens[:, 1:]
+    picked = jnp.take_along_axis(logprobs, targets[..., None], axis=-1)[..., 0]
+    return -jnp.mean(picked)
+
+
+def make_lm_train_step(model, optimizer: optax.GradientTransformation):
+    def train_step(state: TrainState, tokens):
+        loss, grads = jax.value_and_grad(
+            lambda p: lm_loss_fn(model, p, tokens)
+        )(state.params)
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(new_params, new_opt, state.step + 1), loss
+
+    return train_step
+
+
+def init_lm_train_state(model, optimizer, rng: jax.Array) -> TrainState:
+    params = model.init(rng, jnp.zeros((1, 1), jnp.int32))
+    return TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
+
+
+def export_lm_checkpoint(model, params, path: str) -> None:
+    """Write the LM in the format decoding.itf.construct_lm loads."""
+    import json
+
+    from pero_ocr_tpu.utils.checkpoint import save_variables
+
+    save_variables(params, path)
+    spec = model.spec
+    with open(path + ".json", "w", encoding="utf8") as f:
+        json.dump(
+            {
+                "vocab_size": spec.vocab_size,
+                "embed_dim": spec.embed_dim,
+                "hidden_dim": spec.hidden_dim,
+                "num_layers": spec.num_layers,
+            },
+            f,
+        )
+
+
 def make_sharded_train_step(
     model: CTCRecognizer, optimizer: optax.GradientTransformation, mesh: Mesh
 ):

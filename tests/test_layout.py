@@ -179,3 +179,58 @@ class TestLinesIterator:
     def test_iterates_all_lines(self):
         layout = make_page()
         assert len(list(layout.lines_iterator())) == 1
+
+
+class TestALTO:
+    def _layout_with_logits(self):
+        layout = make_page()
+        line = layout.regions[0].lines[0]
+        # "Hello world": build peaked logits so alignment succeeds.
+        chars = list("Helo wrd") + ["​"]
+        text = line.transcription  # "Hello world"
+        T = len(text) * 3 + 4
+        dense = np.full((T, len(chars)), -1.0)
+        for i, ch in enumerate(text):
+            dense[2 + 3 * i, chars.index(ch)] = 15.0
+        for t in range(T):
+            if dense[t].max() < 10:
+                dense[t, -1] = 12.0
+        line.logits = scipy.sparse.csc_matrix(np.where(dense > 0, dense, 0))
+        line.characters = chars
+        line.logit_coords = [0, T]
+        return layout
+
+    def test_alto_export_word_boxes(self):
+        layout = self._layout_with_logits()
+        alto = layout.to_altoxml_string()
+        assert alto.count("<String") == 2  # "Hello" + "world"
+        assert 'WC=' in alto
+        assert "<SP" in alto
+        assert "PrintSpace" in alto
+
+    def test_alto_round_trip(self):
+        layout = self._layout_with_logits()
+        alto = layout.to_altoxml_string()
+        restored = PageLayout()
+        restored.from_altoxml_string(alto)
+        assert restored.page_size == (1000, 800)
+        lines = list(restored.lines_iterator())
+        assert len(lines) == 1
+        assert lines[0].transcription == "Hello world"
+
+    def test_min_line_confidence_filters(self):
+        layout = self._layout_with_logits()
+        alto = layout.to_altoxml_string(min_line_confidence=1.1)
+        assert "<String" not in alto  # everything filtered
+
+
+class TestQuality:
+    def test_get_quality(self):
+        layout = TestALTO()._layout_with_logits()
+        q = layout.get_quality()
+        assert 0.9 <= q <= 1.0  # peaked logits -> very confident
+
+    def test_get_quality_windowed(self):
+        layout = TestALTO()._layout_with_logits()
+        q = layout.get_quality(x=0, y=0, width=800, height=1000)
+        assert q == -1 or 0 <= q <= 1.0

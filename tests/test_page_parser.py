@@ -267,3 +267,117 @@ class TestTPUBeamDecoderStage:
                 logits[None].astype(np.float32)
             )[0].best_hyp()
             assert host_best == tpu_best
+
+
+class TestTransformerEngineStage:
+    def test_transformer_ocr_in_pipeline(self, tmp_path):
+        """PageOCR with METHOD=transformer: AR decode through the pipeline
+        (random weights; shapes + types only)."""
+        cfg = {
+            "characters": list("ab"),
+            "line_px_height": 16,
+            "line_vertical_scale": 1,
+            "checkpoint": "none.ckpt",
+            "max_line_width": 512,
+            "net_spec": {
+                "conv_features": [4, 8],
+                "subsampling": 2,
+                "d_model": 16,
+                "num_heads": 2,
+                "encoder_layers": 1,
+                "decoder_layers": 1,
+                "mlp_dim": 32,
+                "max_decode_len": 32,
+            },
+        }
+        p = tmp_path / "trans.json"
+        p.write_text(json.dumps(cfg))
+
+        img = make_synthetic_page(n_lines=2)
+        config = configparser.ConfigParser()
+        config["PAGE_PARSER"] = {
+            "RUN_LAYOUT_PARSER": "yes",
+            "RUN_LINE_CROPPER": "yes",
+            "RUN_OCR": "yes",
+        }
+        config["LAYOUT_PARSER_1"] = {"METHOD": "REGION_WHOLE_PAGE"}
+        config["LAYOUT_PARSER_2"] = {
+            "METHOD": "LINES_SIMPLE_THRESHOLD",
+            "ADAPTIVE_THRESHOLD": "91", "BLOCK_SIZE": "21",
+            "MINIMUM_LENGTH": "6", "IGNORED_BORDER_PIXELS": "10",
+        }
+        config["LINE_CROPPER"] = {
+            "INTERP": "2", "LINE_SCALE": "1.0", "LINE_HEIGHT": "16",
+        }
+        config["OCR"] = {"OCR_JSON": str(p), "METHOD": "transformer"}
+
+        parser = PageParser(config)
+        assert not parser.provides_ctc_logits  # AR engine
+        layout = PageLayout(id="t.jpg", page_size=img.shape[:2])
+        layout = parser.process_page(img, layout)
+        lines = list(layout.lines_iterator())
+        assert lines
+        for line in lines:
+            assert isinstance(line.transcription, str)
+            # Transformer logit span = one frame per output char.
+            assert line.logit_coords == [0, len(line.transcription)]
+
+
+class TestLayoutExtractorOptions:
+    def test_cnn_layout_option_paths(self, tmp_path):
+        """MULTI_ORIENTATION + MERGE_LINES + ADJUST_HEIGHTS +
+        ADJUST_BASELINES with a random-weight ParseNet: the option code
+        paths must run without crashing regardless of detections."""
+        img = make_synthetic_page(n_lines=2, width=256, height=256)
+        config = configparser.ConfigParser()
+        config["PAGE_PARSER"] = {"RUN_LAYOUT_PARSER": "yes"}
+        config["LAYOUT_PARSER_1"] = {
+            "METHOD": "LAYOUT_CNN",
+            "DETECT_REGIONS": "yes",
+            "DETECT_LINES": "yes",
+            "DETECT_STRAIGHT_LINES_IN_REGIONS": "no",
+            "MERGE_LINES": "yes",
+            "ADJUST_HEIGHTS": "yes",
+            "MULTI_ORIENTATION": "yes",
+            "ADJUST_BASELINES": "yes",
+            "DOWNSAMPLE": "4",
+            "DETECTION_THRESHOLD": "0.9",
+            "MAX_MEGAPIXELS": "1",
+            "ADAPTIVE_DOWNSAMPLE": "no",
+        }
+        parser = PageParser(config)
+        layout = PageLayout(id="x.jpg", page_size=img.shape[:2])
+        layout = parser.process_page(img, layout)  # must not raise
+        assert isinstance(layout.regions, list)
+
+    def test_line_filter_stage(self, tmp_path):
+        img = make_synthetic_page(n_lines=2, width=256, height=256)
+        config = configparser.ConfigParser()
+        config["PAGE_PARSER"] = {"RUN_LAYOUT_PARSER": "yes"}
+        config["LAYOUT_PARSER_1"] = {"METHOD": "REGION_WHOLE_PAGE"}
+        config["LAYOUT_PARSER_2"] = {
+            "METHOD": "LINES_SIMPLE_THRESHOLD",
+            "ADAPTIVE_THRESHOLD": "91", "BLOCK_SIZE": "21",
+            "MINIMUM_LENGTH": "6", "IGNORED_BORDER_PIXELS": "10",
+        }
+        config["LAYOUT_PARSER_3"] = {
+            "METHOD": "LINE_FILTER",
+            "FILTER_DIRECTIONS": "yes",
+            "FILTER_INCOMPLETE_PAGES": "yes",
+            "FILTER_PAGES_WITH_SHORT_LINES": "yes",
+            "LENGTH_THRESHOLD": "10",
+        }
+        config["LAYOUT_PARSER_4"] = {
+            "METHOD": "LINE_POSTPROCESSING",
+            "STRETCH_LINES": "5",
+            "RESAMPLE_LINES": "yes",
+            "HEIGHTS_FROM_REGIONS": "no",
+        }
+        config["LAYOUT_PARSER_5"] = {
+            "METHOD": "LAYOUT_POSTPROCESSING",
+            "RETRACE_REGIONS": "yes",
+        }
+        parser = PageParser(config)
+        layout = PageLayout(id="x.jpg", page_size=img.shape[:2])
+        layout = parser.process_page(img, layout)  # must not raise
+        assert isinstance(layout.regions, list)
