@@ -73,22 +73,26 @@ class TPUPagePipeline:
 
         @jax.jit
         def stage_a(canvases_u8):
-            """canvases_u8: (PB, H', W', 3) uint8 downsampled pages."""
+            """canvases_u8: (PB, H', W', 3) uint8 downsampled pages.
+
+            Downloads are minimized: both masks pack into one uint8 (bits
+            0/1) and heights quantize to uint8 quarter-pixels — ~0.9MB per
+            page instead of the 5.7MB raw float maps."""
             images = canvases_u8.astype(jnp.float32) / 255.0
             maps = pn_apply(parsenet_variables, images)
 
             def post(m):
                 return _postprocess_maps(m, detection_threshold, line_end_weight)
 
-            baselines_mask, connected, heights_map, separator = jax.vmap(post)(
-                maps
+            baselines_mask, connected, heights_map, _ = jax.vmap(post)(maps)
+            packed_masks = (
+                baselines_mask.astype(jnp.uint8)
+                + 2 * connected.astype(jnp.uint8)
             )
-            return (
-                baselines_mask.astype(jnp.uint8),
-                connected.astype(jnp.uint8),
-                heights_map.astype(jnp.float16),
-                separator.astype(jnp.float16),
-            )
+            heights_q = jnp.clip(
+                jnp.round(heights_map * 4.0), 0, 255
+            ).astype(jnp.uint8)
+            return packed_masks, heights_q
 
         crop_h = crop_height
         bucket = crop_bucket
@@ -251,10 +255,12 @@ class TPUPagePipeline:
                 pending = uploader.submit(dispatch_a, batch_idx + 1)
 
             with stage_timer("pipeline/stage_a_sync"):
-                masks = jax.tree_util.tree_map(
+                packed, heights_q = jax.tree_util.tree_map(
                     np.asarray, stage_a_out[batch_idx]
                 )
-            baselines_masks, connecteds, heights_maps, _ = masks
+            baselines_masks = packed & 1
+            connecteds = (packed >> 1) & 1
+            heights_maps = heights_q.astype(np.float32) / 4.0
 
             with stage_timer("pipeline/host_geometry"):
                 page_geoms = []

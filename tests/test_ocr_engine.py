@@ -260,3 +260,45 @@ class TestNarrowLabel:
         ])
         out = narrow_label([0, 0, blank, 0, 0], logit, blank)
         assert out == [0, blank, blank, blank, 0]
+
+
+class TestWriterEmbeddings:
+    def test_embed_sweep_changes_output_and_table_access(self, tmp_path):
+        """Engine with writer embeddings: embedding_table() exposes the
+        matrix, and switching embed_id changes logits without recompiling
+        (select_embed_id sweep contract)."""
+        from pero_ocr_tpu.ocr.ctc_engine import CTCEngineLineOCR
+
+        cfg = {
+            "characters": list("ab"),
+            "line_px_height": 16,
+            "line_vertical_scale": 1,
+            "checkpoint": "none.ckpt",
+            "embed_num": 4,
+            "embed_id": "mean",
+            "net_spec": {
+                "conv_features": [4, 8],
+                "subsampling": 2,
+                "lstm_layers": 1,
+                "lstm_features": 8,
+                "embed_dim": 4,
+            },
+        }
+        p = tmp_path / "embed.json"
+        p.write_text(json.dumps(cfg))
+        engine = CTCEngineLineOCR(str(p), batch_size=4)
+
+        table = engine.embedding_table()
+        assert table.shape == (5, 4)  # embed_num + mean row
+
+        rng = np.random.default_rng(0)
+        lines = [rng.integers(0, 255, (16, 64, 3), dtype=np.uint8)]
+        assert engine.current_embed_id() == 4  # the mean row
+
+        engine.embed_id = 0
+        _, logits0, _ = engine.process_lines(lines)
+        engine.embed_id = 1
+        _, logits1, _ = engine.process_lines(lines)
+        assert not np.allclose(
+            logits0[0].todense(), logits1[0].todense()
+        )
