@@ -98,30 +98,42 @@ class TPUPagePipeline:
         bucket = crop_bucket
 
         @jax.jit
-        def stage_b(pages_u8, baselines, heights):
+        def stage_b_warp(pages_u8, baselines, heights):
             """pages_u8: (PB, H, W, 3) uint8; baselines: (PB, N, P, 2);
-            heights: (PB, N, 2).  Fields are built IN-GRAPH so only tiny
-            geometry tensors cross the host link; all PB*N line crops feed
-            the recognizer as one batch."""
+            heights: (PB, N, 2) -> (PB*N, Hc, Wb, 3) crops.  Uses the
+            structured (gather-free) warp — 2x the XLA gather's rate on
+            v5e; only tiny geometry tensors cross the host link."""
+            from pero_ocr_tpu.ops.warp_structured import warp_lines_structured
+
             pb, n = baselines.shape[:2]
-
-            def warp_one(page, bl, h):
-                fields = warp_ops.build_fields_device(bl, h, crop_h, bucket)
-                return warp_ops.warp_lines_xla(
-                    page.astype(jnp.float32), fields
+            crops = jax.vmap(
+                lambda page, bl, h: warp_lines_structured(
+                    page, bl, h, crop_h, bucket
                 )
+            )(pages_u8, baselines, heights)
+            return crops.reshape((pb * n,) + crops.shape[2:])
 
-            crops = jax.vmap(warp_one)(pages_u8, baselines, heights)
-            crops = crops.reshape((pb * n,) + crops.shape[2:])
+        def stage_b_recognize(crops, pb: int):
+            """Crops stay device-resident between the two programs.  (Kept
+            as a SEPARATE program from the warp: fused into one, XLA
+            re-executes the page gather inside the recognizer's conv
+            windows — a measured ~10x stage blowup on v5e.)"""
             logits = rec_apply(recognizer_variables, crops / 255.0)
             valid = jnp.full((crops.shape[0],), logits.shape[1], jnp.int32)
             labels, lengths = ctc_ops.greedy_ctc_labels(logits, valid)
-            return (
-                labels.reshape(pb, n, -1),
-                lengths.reshape(pb, n),
-            )
+            n = crops.shape[0] // pb
+            return labels.reshape(pb, n, -1), lengths.reshape(pb, n)
 
         self._stage_a = stage_a
+        self._stage_b_warp = stage_b_warp
+        self._stage_b_recognize = jax.jit(
+            stage_b_recognize, static_argnums=(1,)
+        )
+
+        def stage_b(pages_u8, baselines, heights):
+            crops = stage_b_warp(pages_u8, baselines, heights)
+            return self._stage_b_recognize(crops, baselines.shape[0])
+
         self._stage_b = stage_b
 
     # ------------------------------------------------------------------

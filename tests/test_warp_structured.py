@@ -1,0 +1,104 @@
+"""Structured (gather-free) warp vs the gather reference."""
+
+import cv2
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pero_ocr_tpu.ops import warp as warp_ops
+from pero_ocr_tpu.ops.warp_structured import (
+    structured_warp_supported,
+    warp_lines_structured,
+)
+
+
+@pytest.fixture(scope="module")
+def page():
+    rng = np.random.default_rng(0)
+    base = rng.uniform(0, 255, (60, 70, 3))
+    return cv2.resize(base, (896, 1280), interpolation=cv2.INTER_CUBIC).astype(
+        np.float32
+    )
+
+
+def _compare(page, baseline, heights, mean_tol, bucket=512):
+    bl = np.asarray(baseline, np.float32)[None]
+    hh = np.asarray(heights, np.float32)[None]
+    ref = np.asarray(
+        warp_ops.warp_lines_xla(
+            jnp.asarray(page),
+            warp_ops.build_fields_device(
+                jnp.asarray(bl), jnp.asarray(hh), 32, bucket
+            ),
+        )
+    )
+    got = np.asarray(
+        warp_lines_structured(
+            jnp.asarray(page), jnp.asarray(bl), jnp.asarray(hh), 32, bucket
+        )
+    )
+    w = ref.shape[2]
+    diff = np.abs(got[0, 2:-2, 8 : w - 8] - ref[0, 2:-2, 8 : w - 8])
+    assert diff.mean() < mean_tol, diff.mean()
+    return got, ref
+
+
+class TestStructuredWarp:
+    def test_straight_line_exact(self, page):
+        got, ref = _compare(
+            page, np.linspace([50, 200], [800, 200], 16), [24.0, 8.0], 0.01
+        )
+
+    def test_tilted_line(self, page):
+        tilt = 750 * np.tan(np.radians(3))
+        _compare(
+            page, np.linspace([50, 200], [800, 200 + tilt], 16),
+            [24.0, 8.0], 0.6,
+        )
+
+    def test_curved_line(self, page):
+        bl = np.stack(
+            [np.linspace(50, 800, 16),
+             300 + 12 * np.sin(np.linspace(0, np.pi, 16))], 1
+        )
+        _compare(page, bl, [24.0, 8.0], 0.6)
+
+    def test_uint8_page(self, page):
+        bl = np.linspace([50, 400], [700, 402], 16).astype(np.float32)[None]
+        hh = np.asarray([[20.0, 6.0]], np.float32)
+        u8 = np.clip(page, 0, 255).astype(np.uint8)
+        got_u8 = np.asarray(
+            warp_lines_structured(
+                jnp.asarray(u8), jnp.asarray(bl), jnp.asarray(hh), 32, 512
+            )
+        )
+        got_f = np.asarray(
+            warp_lines_structured(
+                jnp.asarray(u8.astype(np.float32)), jnp.asarray(bl),
+                jnp.asarray(hh), 32, 512,
+            )
+        )
+        assert np.abs(got_u8 - got_f).max() < 1e-3
+
+    def test_padding_and_batched(self, page):
+        bls = np.stack(
+            [
+                np.linspace([50, 150], [400, 152], 16),
+                np.linspace([50, 450], [820, 452], 16),
+            ]
+        ).astype(np.float32)
+        hhs = np.asarray([[20.0, 6.0], [24.0, 8.0]], np.float32)
+        got = np.asarray(
+            warp_lines_structured(
+                jnp.asarray(page), jnp.asarray(bls), jnp.asarray(hhs), 32, 512
+            )
+        )
+        assert got.shape == (2, 32, 512, 3)
+        # Line 0 is ~400px long -> columns far beyond its span are zero.
+        assert np.all(got[0, :, 460:] == 0)
+        assert np.abs(got[1, :, :400]).max() > 0
+
+    def test_supported_predicate(self):
+        heights = np.asarray([[24, 8], [80, 30], [20, 4]])
+        out = structured_warp_supported(heights, 32)
+        assert out.tolist() == [True, False, True]
