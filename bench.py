@@ -40,8 +40,8 @@ NORTH_STAR_PAGES_PER_SEC = 50.0
 PAGE_H, PAGE_W = 2560, 1792
 N_TEXT_ROWS = 40
 LINE_HEIGHT_PX = 40
-WARMUP_PAGES = 2
-BENCH_PAGES = 8
+WARMUP_PAGES = 8
+BENCH_PAGES = 16
 
 
 def make_page(rng, height=PAGE_H, width=PAGE_W):
@@ -112,7 +112,7 @@ def main():
 
     def run_pages(page_list):
         total = 0
-        for result in pipeline.run(page_list, lines_override=page_lines):
+        for result in pipeline.run(page_list, lines_override=page_lines, page_batch=4):
             if result.label_lengths is not None:
                 total += int(result.label_lengths.sum())
         return total

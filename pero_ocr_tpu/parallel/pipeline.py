@@ -73,12 +73,17 @@ class TPUPagePipeline:
 
         @jax.jit
         def stage_a(canvases_u8):
-            """canvases_u8: (PB, H', W', 3) uint8 downsampled pages.
+            """canvases_u8: (PB, H', W') uint8 GRAYSCALE downsampled pages
+            (the host link runs ~25MB/s, so pages travel single-channel and
+            the device broadcasts to the models' 3-channel input).
 
             Downloads are minimized: both masks pack into one uint8 (bits
             0/1) and heights quantize to uint8 quarter-pixels — ~0.9MB per
             page instead of the 5.7MB raw float maps."""
-            images = canvases_u8.astype(jnp.float32) / 255.0
+            images = canvases_u8.astype(jnp.float32)[..., None] / 255.0
+            images = jnp.broadcast_to(
+                images, images.shape[:3] + (3,)
+            )
             maps = pn_apply(parsenet_variables, images)
 
             def post(m):
@@ -106,11 +111,14 @@ class TPUPagePipeline:
             from pero_ocr_tpu.ops.warp_structured import warp_lines_structured
 
             pb, n = baselines.shape[:2]
+            pages3 = jnp.broadcast_to(
+                pages_u8[..., None], pages_u8.shape + (3,)
+            )
             crops = jax.vmap(
                 lambda page, bl, h: warp_lines_structured(
                     page, bl, h, crop_h, bucket
                 )
-            )(pages_u8, baselines, heights)
+            )(pages3, baselines, heights)
             return crops.reshape((pb * n,) + crops.shape[2:])
 
         def stage_b_recognize(crops, pb: int):
@@ -137,6 +145,16 @@ class TPUPagePipeline:
         self._stage_b = stage_b
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _gray(page: np.ndarray) -> np.ndarray:
+        """Single-channel uint8 view of a page (pages travel grayscale over
+        the host link; the device broadcasts channels)."""
+        import cv2
+
+        if page.ndim == 2:
+            return page
+        return cv2.cvtColor(page, cv2.COLOR_BGR2GRAY)
+
     def _canvas(self, page: np.ndarray) -> np.ndarray:
         import cv2
 
@@ -146,7 +164,7 @@ class TPUPagePipeline:
         )
         h = int(np.ceil(small.shape[0] / 64) * 64)
         w = int(np.ceil(small.shape[1] / 64) * 64)
-        canvas = np.zeros((h, w, 3), np.uint8)
+        canvas = np.zeros((h, w), np.uint8)
         canvas[: small.shape[0], : small.shape[1]] = small
         return canvas
 
@@ -250,8 +268,9 @@ class TPUPagePipeline:
             # Pad the final batch by repeating its last page so every
             # dispatch reuses the same compiled shape.
             padded = ids + [ids[-1]] * (page_batch - len(ids))
-            stack = np.stack([pages[i] for i in padded])
-            canvases = np.stack([self._canvas(pages[i]) for i in padded])
+            grays = [self._gray(pages[i]) for i in padded]
+            stack = np.stack(grays)
+            canvases = np.stack([self._canvas(g) for g in grays])
             device_pages[batch_idx] = jnp.asarray(stack)
             stage_a_out[batch_idx] = self._stage_a(jnp.asarray(canvases))
 
