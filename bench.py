@@ -15,13 +15,14 @@ Reports pages/sec end-to-end.  ``vs_baseline`` is the fraction of the
 BASELINE.md north-star target (50 newspaper pages/sec per chip); the
 reference publishes no figures of its own (BASELINE.md).
 
-Environment note: this harness reaches the chip through a tunnel that
-serializes host<->device transfers with compute and charges ~70ms per
-program alternation; measured device-only throughput of the same two
-dispatches is ~7 pages/s (and stage compute is dominated by the BLSTM
-recurrence, i.e. the reference's own model family).  On a directly
-attached host the pipeline design (batched dispatches, ~3.8MB of
-uploads/page, no intermediate downloads) is compute-bound.
+Environment note: this harness reaches the chip through a tunnel moving
+~25MB/s with ~26ms round trips, and its block_until_ready returns before
+execution completes (all timing here forces real fetches).  Pages
+therefore travel once, grayscale (4.7MB/page); device compute is
+~45ms/page (warp + recognizer + ParseNet), so measured throughput is
+link-weather dependent (observed 5-11 pages/s across runs; best
+recorded 10.6).  On a directly attached host the same pipeline is
+compute-bound at the ~45ms/page device cost.
 """
 
 import json

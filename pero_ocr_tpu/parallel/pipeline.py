@@ -1,23 +1,23 @@
 """Device-resident page pipeline with cross-page overlap.
 
-The serving architecture for page throughput (SURVEY.md §7 step 9):
+The serving architecture for page throughput (SURVEY.md §7 step 9).
+Per batch of pages, ONE grayscale uint8 upload feeds everything:
 
-- **Stage A** (one jitted dispatch): uint8 page canvas -> ParseNet maps
-  -> fused post-processing.  Only the small artifacts the host needs
-  come back: baseline/connection masks (uint8) and a half-precision
-  heights map — NOT the full float maps.
-- **Host**: connected components -> baselines -> warp fields (vectorized
-  numpy; tiny next to device work).
-- **Stage B** (one jitted dispatch): uint8 page + padded warp fields ->
-  batched bilinear crop -> CTC recognizer -> greedy labels.  Only the
-  packed label ids come back.
+- **Stage A** (one jitted dispatch): device area-downsample -> ParseNet
+  maps -> fused post-processing.  Only tiny artifacts return to the
+  host: 2-bit-packed baseline/connection masks (4 px/byte) and a
+  half-resolution quarter-pixel-quantized heights map (~0.2MB/page).
+- **Host**: connected components -> baselines (vectorized numpy; tiny
+  next to device work; geometry uploads are ~KB).
+- **Stage B** (two chained device programs, data resident): structured
+  gather-free crop warp -> CTC recognizer -> greedy labels.  Only packed
+  label ids come back.
 
-Pages are processed with software pipelining: stage A of page N+1 is
-dispatched (JAX dispatch is async) before the host geometry of page N,
-so the device never waits for the host and transfers overlap compute.
+Batches overlap: the NEXT batch's upload + stage-A dispatch run on a
+worker thread while this thread post-processes the current batch.
 
 On a multi-chip mesh the page batch axis shards over ``dp``; on one chip
-this degenerates to the double-buffered single-stream below.
+this degenerates to the pipelined single-stream below.
 """
 
 from __future__ import annotations
@@ -71,18 +71,32 @@ class TPUPagePipeline:
         pn_apply = parsenet_model.apply
         rec_apply = recognizer_model.apply
 
-        @jax.jit
-        def stage_a(canvases_u8):
-            """canvases_u8: (PB, H', W') uint8 GRAYSCALE downsampled pages
-            (the host link runs ~25MB/s, so pages travel single-channel and
-            the device broadcasts to the models' 3-channel input).
+        ds = downsample
 
-            Downloads are minimized: both masks pack into one uint8 (bits
-            0/1) and heights quantize to uint8 quarter-pixels — ~0.9MB per
+        @jax.jit
+        def stage_a(pages_u8):
+            """pages_u8: (PB, H, W) uint8 GRAYSCALE full pages — the SAME
+            upload stage B consumes (the host link runs ~25MB/s, so pages
+            travel once, single-channel; the device area-downsamples for
+            ParseNet and broadcasts to the models' 3-channel input).
+
+            Downloads are minimized: both masks bit-pack 4 px/byte and
+            heights quantize to half-res uint8 quarter-pixels — ~0.2MB per
             page instead of the 5.7MB raw float maps."""
-            images = canvases_u8.astype(jnp.float32)[..., None] / 255.0
+            x = pages_u8.astype(jnp.float32)[..., None]  # (PB, H, W, 1)
+            small = jax.lax.reduce_window(
+                x, 0.0, jax.lax.add, (1, ds, ds, 1), (1, ds, ds, 1), "VALID"
+            ) / (ds * ds)
+            # Pad to multiples of 64 for the U-Net.
+            h64 = int(np.ceil(small.shape[1] / 64) * 64)
+            w64 = int(np.ceil(small.shape[2] / 64) * 64)
+            small = jnp.pad(
+                small,
+                ((0, 0), (0, h64 - small.shape[1]), (0, w64 - small.shape[2]),
+                 (0, 0)),
+            )
             images = jnp.broadcast_to(
-                images, images.shape[:3] + (3,)
+                small / 255.0, small.shape[:3] + (3,)
             )
             maps = pn_apply(parsenet_variables, images)
 
@@ -90,14 +104,29 @@ class TPUPagePipeline:
                 return _postprocess_maps(m, detection_threshold, line_end_weight)
 
             baselines_mask, connected, heights_map, _ = jax.vmap(post)(maps)
-            packed_masks = (
+            two_bit = (
                 baselines_mask.astype(jnp.uint8)
                 + 2 * connected.astype(jnp.uint8)
             )
+            # Bit-pack 4 pixels per byte (2 bits each): W must be %4.
+            pb_, hh_, ww_ = two_bit.shape
+            packed = two_bit.reshape(pb_, hh_, ww_ // 4, 4)
+            packed = (
+                packed[..., 0]
+                + (packed[..., 1] << 2)
+                + (packed[..., 2] << 4)
+                + (packed[..., 3] << 6)
+            )
+            # Heights at half resolution (the maps are smooth), quarter-px
+            # quantized uint8.
+            heights_half = jax.lax.reduce_window(
+                heights_map, 0.0, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1),
+                "VALID",
+            )
             heights_q = jnp.clip(
-                jnp.round(heights_map * 4.0), 0, 255
+                jnp.round(heights_half * 4.0), 0, 255
             ).astype(jnp.uint8)
-            return packed_masks, heights_q
+            return packed, heights_q
 
         crop_h = crop_height
         bucket = crop_bucket
@@ -269,10 +298,9 @@ class TPUPagePipeline:
             # dispatch reuses the same compiled shape.
             padded = ids + [ids[-1]] * (page_batch - len(ids))
             grays = [self._gray(pages[i]) for i in padded]
-            stack = np.stack(grays)
-            canvases = np.stack([self._canvas(g) for g in grays])
-            device_pages[batch_idx] = jnp.asarray(stack)
-            stage_a_out[batch_idx] = self._stage_a(jnp.asarray(canvases))
+            stack = jnp.asarray(np.stack(grays))
+            device_pages[batch_idx] = stack
+            stage_a_out[batch_idx] = self._stage_a(stack)
 
         # Uploads block on the host link, so the NEXT batch's upload +
         # stage-A dispatch run on a worker thread while this thread syncs
@@ -289,9 +317,15 @@ class TPUPagePipeline:
                 packed, heights_q = jax.tree_util.tree_map(
                     np.asarray, stage_a_out[batch_idx]
                 )
-            baselines_masks = packed & 1
-            connecteds = (packed >> 1) & 1
-            heights_maps = heights_q.astype(np.float32) / 4.0
+            # Unpack 4x 2-bit pixels per byte; upsample heights 2x back.
+            two_bit = np.stack(
+                [(packed >> (2 * i)) & 3 for i in range(4)], axis=-1
+            ).reshape(packed.shape[0], packed.shape[1], packed.shape[2] * 4)
+            baselines_masks = two_bit & 1
+            connecteds = (two_bit >> 1) & 1
+            heights_maps = (
+                heights_q.astype(np.float32) / 4.0
+            ).repeat(2, axis=1).repeat(2, axis=2)
 
             with stage_timer("pipeline/host_geometry"):
                 page_geoms = []
