@@ -60,7 +60,13 @@ class TPUPagePipeline:
         crop_height: int = 32,
         crop_bucket: int = 1024,
         max_lines: int = 64,
+        mesh=None,
     ):
+        """``mesh``: optional jax.sharding.Mesh with a 'dp' axis — page
+        batches shard across it (page_batch must be a multiple of the dp
+        size); stage programs are jitted with batch-over-dp input
+        shardings and GSPMD partitions the compute."""
+        self.mesh = mesh
         self.downsample = downsample
         self.detection_threshold = detection_threshold
         self.line_end_weight = line_end_weight
@@ -160,6 +166,18 @@ class TPUPagePipeline:
             labels, lengths = ctc_ops.greedy_ctc_labels(logits, valid)
             n = crops.shape[0] // pb
             return labels.reshape(pb, n, -1), lengths.reshape(pb, n)
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            batch_sh = NamedSharding(mesh, P("dp"))
+            stage_a = jax.jit(
+                stage_a.__wrapped__, in_shardings=(batch_sh,)
+            )
+            stage_b_warp = jax.jit(
+                stage_b_warp.__wrapped__,
+                in_shardings=(batch_sh, batch_sh, batch_sh),
+            )
 
         self._stage_a = stage_a
         self._stage_b_warp = stage_b_warp

@@ -117,3 +117,52 @@ class TestPipeline:
         w = min(host.shape[1], 512) - 4
         # Curved: cubic (host) vs piecewise-linear (device) differ slightly.
         assert np.median(np.abs(dev[:, :w] - host[:, :w])) < 1.0
+
+
+class TestMeshShardedPipeline:
+    def test_dp_sharded_pages(self):
+        """Pages shard over the dp axis of an 8-device mesh; results must
+        match the unsharded pipeline."""
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+
+        from pero_ocr_tpu.parallel import mesh as mesh_lib
+
+        parsenet = ParseNet(base_features=4, depth=2)
+        pn_params = parsenet.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
+        )
+        spec = RecognizerSpec(
+            num_classes=8, line_height=16, conv_features=(4, 8),
+            subsampling=2, lstm_layers=1, lstm_features=8,
+        )
+        recognizer = CTCRecognizer(spec)
+        rec_params = recognizer.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 16, 64, 3), jnp.float32)
+        )
+
+        mesh = mesh_lib.make_mesh(8, tp=1)
+        kwargs = dict(
+            downsample=4, crop_height=16, crop_bucket=256, max_lines=8,
+        )
+        plain = TPUPagePipeline(
+            parsenet, pn_params, recognizer, rec_params, **kwargs
+        )
+        with mesh:
+            sharded = TPUPagePipeline(
+                parsenet, pn_params, recognizer, rec_params,
+                mesh=mesh, **kwargs
+            )
+            pages = synthetic_pages(8)
+            res_sharded = list(
+                sharded.run(pages, lines_override=fixed_lines, page_batch=8)
+            )
+        res_plain = list(
+            plain.run(pages, lines_override=fixed_lines, page_batch=8)
+        )
+        assert len(res_sharded) == 8
+        for a, b in zip(res_sharded, res_plain):
+            np.testing.assert_array_equal(a.label_lengths, b.label_lengths)
+            np.testing.assert_array_equal(a.labels, b.labels)
