@@ -41,9 +41,11 @@ _HASH_MULT = np.uint32(1000003)
 
 class _BeamArrays(NamedTuple):
     """Per-line beam state carried through the scan (leaves have a
-    leading (B, K) shape)."""
+    leading (B, K) shape).  Prefix STRINGS are not carried — each step
+    emits (row, col) backpointers and the host reconstructs the texts
+    after the scan (carrying a (B, K, Lmax) buffer would rewrite it every
+    frame: ~0.5GB of HBM traffic per 512-frame scan)."""
 
-    prefixes: jnp.ndarray      # (B, K, Lmax) int32, -1 padded
     lengths: jnp.ndarray       # (B, K) int32
     hash: jnp.ndarray          # (B, K) uint32
     parent_hash: jnp.ndarray   # (B, K) uint32
@@ -156,7 +158,6 @@ class TPUBeamSearchDecoder:
         k, lmax = self.k, self.max_len
         lm_state, lm_preds = self._lm_initial(b)
         return _BeamArrays(
-            prefixes=jnp.full((b, k, lmax), -1, jnp.int32),
             lengths=jnp.zeros((b, k), jnp.int32),
             hash=jnp.zeros((b, k), jnp.uint32),
             parent_hash=jnp.zeros((b, k), jnp.uint32),
@@ -255,20 +256,8 @@ class TPUBeamSearchDecoder:
         def g2(x):
             return jnp.take_along_axis(x, rows, axis=1)
 
-        g_prefix = jnp.take_along_axis(
-            beam.prefixes, rows[:, :, None].repeat(self.max_len, axis=2), axis=1
-        )
         g_len = g2(beam.lengths)
-        pos_mask = (
-            jnp.arange(self.max_len)[None, None, :] == g_len[:, :, None]
-        )
-        capped = g_len < self.max_len
-        new_prefixes = jnp.where(
-            pos_mask & ~stay[:, :, None] & capped[:, :, None],
-            cols[:, :, None],
-            g_prefix,
-        )
-        new_lengths = jnp.where(stay, g_len, jnp.minimum(g_len + 1, self.max_len))
+        new_lengths = jnp.where(stay, g_len, g_len + 1)
 
         g_hash = g2(beam.hash)
         ext_hash = (
@@ -311,7 +300,6 @@ class TPUBeamSearchDecoder:
             new_preds = beam.lm_preds
 
         new_beam = _BeamArrays(
-            prefixes=new_prefixes,
             lengths=new_lengths,
             hash=new_hash,
             parent_hash=new_parent,
@@ -335,8 +323,7 @@ class TPUBeamSearchDecoder:
                 new,
             )
 
-        return _BeamArrays(
-            prefixes=sel(beam.prefixes, new_beam.prefixes),
+        merged = _BeamArrays(
             lengths=sel(beam.lengths, new_beam.lengths),
             hash=sel(beam.hash, new_beam.hash),
             parent_hash=sel(beam.parent_hash, new_beam.parent_hash),
@@ -347,6 +334,10 @@ class TPUBeamSearchDecoder:
             lm_state=sel(beam.lm_state, new_beam.lm_state),
             lm_preds=sel(beam.lm_preds, new_beam.lm_preds),
         )
+        identity = jnp.broadcast_to(jnp.arange(k)[None, :], (b, k))
+        bp_rows = jnp.where(active[:, None], rows, identity).astype(jnp.int32)
+        bp_cols = jnp.where(active[:, None], cols, v).astype(jnp.int32)
+        return merged, (bp_rows, bp_cols)
 
     # ------------------------------------------------------------------
     def _decode_impl(self, logprobs, frame_lengths, model_eos: bool = False):
@@ -356,10 +347,10 @@ class TPUBeamSearchDecoder:
         def body(carry, inputs):
             frame, t_idx = inputs
             active = t_idx < frame_lengths
-            return self._step(carry, frame, active), None
+            return self._step(carry, frame, active)
 
         frames = jnp.moveaxis(logprobs, 1, 0)
-        beam, _ = jax.lax.scan(
+        beam, backpointers = jax.lax.scan(
             body, beam, (frames, jnp.arange(t))
         )
 
@@ -367,7 +358,7 @@ class TPUBeamSearchDecoder:
         p_lm = beam.p_lm
         if model_eos and self._lm_model is not None:
             p_lm = p_lm + self._lm_eos_scores(beam.lm_state)
-        return beam.prefixes, beam.lengths, p_total, p_lm
+        return backpointers, beam.lengths, p_total, p_lm
 
     # ------------------------------------------------------------------
     def decode_batch(
@@ -380,15 +371,30 @@ class TPUBeamSearchDecoder:
         b, t, _ = logprobs.shape
         if frame_lengths is None:
             frame_lengths = np.full(b, t, np.int32)
-        prefixes, lengths, p_total, p_lm = self._decode_jit(
+        (bp_rows, bp_cols), lengths, p_total, p_lm = self._decode_jit(
             jnp.asarray(logprobs, jnp.float32),
             jnp.asarray(frame_lengths, jnp.int32),
             model_eos,
         )
-        prefixes = np.asarray(prefixes)
-        lengths = np.asarray(lengths)
+        bp_rows = np.asarray(bp_rows)   # (T, B, K)
+        bp_cols = np.asarray(bp_cols)
         p_total = np.asarray(p_total)
         p_lm = np.asarray(p_lm)
+
+        # Vectorized host backtrack: walk the (row, col) backpointers from
+        # the final beam entries; cols < V emit a character.
+        t_total = bp_rows.shape[0]
+        cursor = np.tile(np.arange(self.k)[None, :], (b, 1))  # (B, K)
+        texts = [["" for _ in range(self.k)] for _ in range(b)]
+        batch_idx = np.arange(b)[:, None]
+        for t in range(t_total - 1, -1, -1):
+            cols_t = bp_cols[t][batch_idx, cursor]   # (B, K)
+            rows_t = bp_rows[t][batch_idx, cursor]
+            emit = cols_t < self.vocab
+            if emit.any():
+                for i, j in zip(*np.nonzero(emit)):
+                    texts[i][j] = self.letters[cols_t[i, j]] + texts[i][j]
+            cursor = rows_t
 
         bags = []
         for i in range(b):
@@ -397,10 +403,7 @@ class TPUBeamSearchDecoder:
             for j in range(self.k):
                 if p_total[i, j] <= NEG_INF / 2:
                     continue
-                text = "".join(
-                    self.letters[cc]
-                    for cc in prefixes[i, j, : lengths[i, j]]
-                )
+                text = texts[i][j]
                 if text in seen:
                     continue
                 seen.add(text)
