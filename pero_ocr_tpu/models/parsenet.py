@@ -34,14 +34,20 @@ import jax.numpy as jnp
 class ConvBlock(nn.Module):
     features: int
     dtype: Any = jnp.bfloat16
+    # GroupNorm's reductions cost as much as the convs at full map
+    # resolution on TPU; the full-res level runs norm-free (a standard
+    # segmentation-stem design), deeper levels keep it.
+    use_norm: bool = True
 
     @nn.compact
     def __call__(self, x):
         x = nn.Conv(self.features, (3, 3), dtype=self.dtype)(x)
-        x = nn.GroupNorm(num_groups=min(8, self.features), dtype=self.dtype)(x)
+        if self.use_norm:
+            x = nn.GroupNorm(num_groups=min(8, self.features), dtype=self.dtype)(x)
         x = nn.relu(x)
         x = nn.Conv(self.features, (3, 3), dtype=self.dtype)(x)
-        x = nn.GroupNorm(num_groups=min(8, self.features), dtype=self.dtype)(x)
+        if self.use_norm:
+            x = nn.GroupNorm(num_groups=min(8, self.features), dtype=self.dtype)(x)
         return nn.relu(x)
 
 
@@ -61,21 +67,24 @@ class ParseNet(nn.Module):
         x = images.astype(self.dtype)
         skips = []
         features = self.base_features
-        for _ in range(self.depth):
-            x = ConvBlock(features, dtype=self.dtype)(x)
+        for level in range(self.depth):
+            x = ConvBlock(features, dtype=self.dtype, use_norm=level > 0)(x)
             skips.append(x)
             x = nn.Conv(features, (3, 3), strides=(2, 2), dtype=self.dtype)(x)
             features *= 2
 
         x = ConvBlock(features, dtype=self.dtype)(x)
 
-        for skip in reversed(skips):
+        for level, skip in enumerate(reversed(skips)):
             features //= 2
             x = nn.ConvTranspose(
                 features, (2, 2), strides=(2, 2), dtype=self.dtype
             )(x)
             x = jnp.concatenate([x, skip], axis=-1)
-            x = ConvBlock(features, dtype=self.dtype)(x)
+            x = ConvBlock(
+                features, dtype=self.dtype,
+                use_norm=level < self.depth - 1,
+            )(x)
 
         x = nn.Conv(self.out_channels, (1, 1), dtype=jnp.float32)(x)
         x = x.astype(jnp.float32)
