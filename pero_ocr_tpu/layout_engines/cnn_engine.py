@@ -225,7 +225,9 @@ class LayoutEngine:
     # ------------------------------------------------------------------
     def rotate_layout(self, p_list, b_list, t_list, rot, shape):
         """Rotate coords back after multi-orientation detection
-        (reference: cnn_layout_engine.py:198-224)."""
+        (reference: cnn_layout_engine.py:198-224; the reference reflects
+        with ``dim - x`` which is 1px off the exact np.rot90 inverse —
+        here the mapping is pixel-exact, ``dim-1 - x``)."""
         if rot == 0:
             return p_list, b_list, t_list
 
@@ -233,12 +235,12 @@ class LayoutEngine:
             points = np.asarray(points, dtype=float)
             if rot == 1:
                 out = np.flip(points, axis=1).copy()
-                out[:, 0] = shape[0] - out[:, 0]
+                out[:, 0] = shape[0] - 1 - out[:, 0]
             elif rot == 2:
-                out = np.asarray(shape[:2][::-1]) - points
+                out = np.asarray(shape[:2][::-1]) - 1 - points
             else:  # rot == 3
                 out = np.flip(points, axis=1).copy()
-                out[:, 1] = shape[1] - out[:, 1]
+                out[:, 1] = shape[1] - 1 - out[:, 1]
             return out
 
         return (

@@ -381,3 +381,61 @@ class TestLayoutExtractorOptions:
         layout = PageLayout(id="x.jpg", page_size=img.shape[:2])
         layout = parser.process_page(img, layout)  # must not raise
         assert isinstance(layout.regions, list)
+
+
+class TestRotateLayout:
+    def test_rotations_round_trip(self):
+        """Coordinates detected on a rotated image must map back to the
+        original frame: rotating the image by k*90deg and mapping a point
+        through rotate_layout must invert np.rot90's coordinate change."""
+        from pero_ocr_tpu.layout_engines.cnn_engine import LayoutEngine
+
+        engine = LayoutEngine.__new__(LayoutEngine)  # no model needed
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 255, (30, 50), dtype=np.uint8)
+
+        for rot in (1, 2, 3):
+            rotated = np.rot90(img, k=rot)
+            # pick a marker pixel in the rotated frame
+            ry, rx = 7, 11
+            value = rotated[ry, rx]
+            pts = np.array([[rx, ry]], dtype=float)
+            (mapped,), _, _ = engine.rotate_layout(
+                [pts], [pts], [pts], rot, rotated.shape
+            )
+            mx, my = int(round(mapped[0][0])), int(round(mapped[0][1]))
+            mx = np.clip(mx, 0, img.shape[1] - 1)
+            my = np.clip(my, 0, img.shape[0] - 1)
+            assert img[my, mx] == value, f"rot={rot}"
+
+
+class TestTPUBeamWithLMFactory:
+    def test_tpu_beam_decoder_with_lm_in_pipeline(self, ocr_json, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from pero_ocr_tpu.models.charlm import CharLM, CharLMSpec
+        from pero_ocr_tpu.parallel.train import export_lm_checkpoint
+
+        # charset of the tiny OCR engine: 'a', 'b' (+ blank) -> LM vocab 3.
+        spec = CharLMSpec(vocab_size=3, embed_dim=4, hidden_dim=8, num_layers=1)
+        model = CharLM(spec)
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 1), jnp.int32))
+        lm_path = tmp_path / "pipeline.lm"
+        export_lm_checkpoint(model, variables, str(lm_path))
+
+        img = make_synthetic_page(n_lines=2)
+        config = make_config(ocr_json, run_decoder=True)
+        config["DECODER"] = {
+            "TYPE": "TPU-BEAM",
+            "BEAM_SIZE": "4",
+            "LM_SCALE": "0.5",
+            "LM": str(lm_path),
+            "USE_CPU": "yes",
+        }
+        parser = PageParser(config)
+        layout = PageLayout(id="t.jpg", page_size=img.shape[:2])
+        layout = parser.process_page(img, layout)
+        assert parser.decoder.lines_decoded > 0
+        for line in layout.lines_iterator():
+            assert isinstance(line.transcription, str)
