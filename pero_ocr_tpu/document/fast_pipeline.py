@@ -1,0 +1,111 @@
+"""Fast-path adapter: drive the device-resident page pipeline from the
+document layer and emit PageLayout results.
+
+Connects :class:`pero_ocr_tpu.parallel.pipeline.TPUPagePipeline` (the
+throughput-optimized serving path: single grayscale upload, fused map
+postprocessing, structured warp, batched recognition) to the standard
+``PageLayout`` outputs, so ``parse_folder.py --fast-pipeline`` can use
+it for CNN-layout + CTC configs.
+
+Differences from the stage-by-stage PageParser path:
+- one whole-page region per page (no paragraph clustering);
+- line crops and logits are not materialized (labels decode on device) —
+  crop/logit outputs are unavailable in fast mode;
+- the ParseNet adaptive-resolution second pass is skipped (fixed
+  downsample).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator, List, Tuple
+
+import numpy as np
+
+from pero_ocr_tpu.core.layout import PageLayout, RegionLayout, TextLine
+from pero_ocr_tpu.layout_engines import helpers
+
+
+class FastPagePipeline:
+    """Build from an existing PageParser's engines."""
+
+    def __init__(self, page_parser, page_batch: int = 4, max_lines: int = 64,
+                 crop_bucket: int = 2048, mesh=None):
+        from pero_ocr_tpu.document.page_parser import LayoutExtractor
+        from pero_ocr_tpu.parallel.pipeline import TPUPagePipeline
+
+        extractor = next(
+            (
+                lp for lp in page_parser.layout_parsers
+                if isinstance(lp, LayoutExtractor)
+            ),
+            None,
+        )
+        if extractor is None:
+            raise ValueError(
+                "--fast-pipeline needs a LAYOUT_CNN stage in the config"
+            )
+        if page_parser.ocr is None or not page_parser.ocr.provides_ctc_logits:
+            raise ValueError(
+                "--fast-pipeline needs a CTC [OCR] engine in the config"
+            )
+
+        ocr_engine = page_parser.ocr.ocr_engine
+        self.characters = list(ocr_engine.characters)
+        cropper = page_parser.line_cropper.crop_engine
+        self.line_scale = cropper.scale
+        self.page_batch = page_batch
+
+        parsenet_wrapper = extractor.engine.parsenet
+        self.pipeline = TPUPagePipeline(
+            parsenet_wrapper.model,
+            parsenet_wrapper.variables,
+            ocr_engine.model,
+            ocr_engine.variables,
+            downsample=int(parsenet_wrapper.init_downsample),
+            detection_threshold=extractor.engine.line_detection_threshold,
+            line_end_weight=extractor.engine.line_end_weight,
+            crop_height=cropper.line_height,
+            crop_bucket=crop_bucket,
+            max_lines=max_lines,
+            height_scale=cropper.scale,
+            mesh=mesh,
+        )
+
+    def process_pages(
+        self, pages: Iterable[np.ndarray], page_ids: List[str]
+    ) -> Iterator[PageLayout]:
+        pages = list(pages)
+        for result in self.pipeline.run(pages, page_batch=self.page_batch):
+            page = pages[result.page_index]
+            layout = PageLayout(
+                id=page_ids[result.page_index],
+                page_size=(page.shape[0], page.shape[1]),
+            )
+            h, w = page.shape[:2]
+            region = RegionLayout(
+                "r1", np.asarray([[0, 0], [w, 0], [w, h], [0, h]])
+            )
+            for i, (baseline, heights) in enumerate(
+                zip(result.baselines, result.heights)
+            ):
+                line = TextLine(
+                    id=f"r1-l{i + 1:03d}",
+                    index=i,
+                    baseline=np.asarray(baseline),
+                    heights=list(heights),
+                    polygon=helpers.baseline_to_textline(
+                        np.asarray(baseline), heights
+                    ),
+                )
+                if result.labels is not None and i < result.labels.shape[0]:
+                    n = int(result.label_lengths[i])
+                    line.transcription = "".join(
+                        self.characters[c]
+                        for c in result.labels[i, :n]
+                        if 0 <= c < len(self.characters)
+                    )
+                else:
+                    line.transcription = ""
+                region.lines.append(line)
+            layout.regions.append(region)
+            yield layout

@@ -60,6 +60,7 @@ class TPUPagePipeline:
         crop_height: int = 32,
         crop_bucket: int = 1024,
         max_lines: int = 64,
+        height_scale: float = 1.0,
         mesh=None,
     ):
         """``mesh``: optional jax.sharding.Mesh with a 'dp' axis — page
@@ -67,6 +68,7 @@ class TPUPagePipeline:
         size); stage programs are jitted with batch-over-dp input
         shardings and GSPMD partitions the compute."""
         self.mesh = mesh
+        self.height_scale = height_scale  # LINE_CROPPER LINE_SCALE semantics
         self.downsample = downsample
         self.detection_threshold = detection_threshold
         self.line_end_weight = line_end_weight
@@ -270,7 +272,7 @@ class TPUPagePipeline:
                 np.asarray(b_list[i], float), self.BASELINE_POINTS
             )
             baselines[i] = resampled
-            heights[i] = h_list[i]
+            heights[i] = np.asarray(h_list[i]) * self.height_scale
             arc = np.hypot(*np.diff(resampled, axis=0).T).sum()
             scale = self.crop_height / max(h_list[i][0] + h_list[i][1], 1e-6)
             widths[i] = min(int(arc * scale), self.crop_bucket)

@@ -58,6 +58,9 @@ def parse_arguments():
     parser.add_argument("--device", choices=["tpu", "cpu"], default="tpu")
     parser.add_argument("--timing-report", action="store_true",
                         help="Print per-stage timing table at the end.")
+    parser.add_argument("--fast-pipeline", action="store_true",
+                        help="Device-resident batched pipeline (CNN layout "
+                             "+ CTC configs; XML/transcript outputs only).")
     parser.add_argument("--process-count", type=int, default=1,
                         help="Parallel page processes (line-cropping-only "
                              "configs; neural stages run in-process).")
@@ -384,7 +387,42 @@ def main():
 
     t_start = time.time()
     results = []
-    if args.process_count > 1:
+    if args.fast_pipeline:
+        if output_logit_path or output_line_path or output_alto_path:
+            logging.error(
+                "--fast-pipeline supports XML/render/transcript outputs only "
+                "(crops and logits are not materialized)."
+            )
+            sys.exit(2)
+        from pero_ocr_tpu.document.fast_pipeline import FastPagePipeline
+
+        fast = FastPagePipeline(page_parser)
+        images = [
+            cv2.imread(os.path.join(input_image_path, f), 1)
+            for f in images_to_process
+        ]
+        for layout in fast.process_pages(images, ids_to_process):
+            if output_xml_path is not None:
+                layout.to_pagexml(
+                    os.path.join(output_xml_path, layout.id + ".xml")
+                )
+            if output_render_path is not None:
+                idx = ids_to_process.index(layout.id)
+                img = images[idx]
+                layout.render_to_image(img)
+                cv2.imwrite(
+                    os.path.join(output_render_path, layout.id + ".jpg"),
+                    img, [int(cv2.IMWRITE_JPEG_QUALITY), 70],
+                )
+            results.append(
+                [
+                    f"{layout.id}-{line.id}.jpg {line.transcription}"
+                    for line in layout.lines_iterator()
+                    if line.transcription
+                ]
+            )
+            print(f"DONE {layout.id} (fast pipeline)")
+    elif args.process_count > 1:
         from multiprocessing import Pool
 
         with Pool(processes=args.process_count) as pool:

@@ -439,3 +439,37 @@ class TestTPUBeamWithLMFactory:
         assert parser.decoder.lines_decoded > 0
         for line in layout.lines_iterator():
             assert isinstance(line.transcription, str)
+
+
+class TestFastPipelineAdapter:
+    def test_fast_pipeline_from_parser(self, ocr_json):
+        """FastPagePipeline builds from a PageParser's engines and yields
+        serializable PageLayouts (random CNN weights -> line count is
+        whatever the net detects; the machinery must hold up)."""
+        from pero_ocr_tpu.document.fast_pipeline import FastPagePipeline
+
+        config = make_config(ocr_json)
+        config["LAYOUT_PARSER_1"] = {
+            "METHOD": "LAYOUT_CNN",
+            "DOWNSAMPLE": "4",
+            "DETECTION_THRESHOLD": "0.2",
+            "MAX_MEGAPIXELS": "5",
+            "ADAPTIVE_DOWNSAMPLE": "no",
+        }
+        del config["LAYOUT_PARSER_2"]
+        parser = PageParser(config)
+        fast = FastPagePipeline(parser, page_batch=2, max_lines=8,
+                                 crop_bucket=256)
+        pages = [make_synthetic_page(width=256, height=256) for _ in range(3)]
+        layouts = list(fast.process_pages(pages, ["a", "b", "c"]))
+        assert [l.id for l in layouts] == ["a", "b", "c"]
+        for layout in layouts:
+            xml = layout.to_pagexml_string()
+            assert "PcGts" in xml
+
+    def test_fast_pipeline_requires_cnn_layout(self, ocr_json):
+        from pero_ocr_tpu.document.fast_pipeline import FastPagePipeline
+
+        parser = PageParser(make_config(ocr_json))  # classical layout
+        with pytest.raises(ValueError):
+            FastPagePipeline(parser)
