@@ -34,6 +34,38 @@ logger = logging.getLogger(__name__)
 ZERO_LOGIT_VALUE = -80
 
 
+def element_schema(elem):
+    """Re-export (reference: pero_ocr/core/layout.py:877-882)."""
+    from pero_ocr_tpu.core.pagexml import element_schema as _impl
+
+    return _impl(elem)
+
+
+def points_string_to_array(coords: str):
+    """Re-export (reference: pero_ocr/core/layout.py:885-889)."""
+    from pero_ocr_tpu.core.pagexml import points_string_to_array as _impl
+
+    return _impl(coords)
+
+
+def create_ocr_processing_element(*args, **kwargs):
+    """Re-export (reference: pero_ocr/core/layout.py:915-936)."""
+    from pero_ocr_tpu.core.altoxml import create_ocr_processing_element as _impl
+
+    return _impl(*args, **kwargs)
+
+
+def draw_lines(img, lines, color=(255, 0, 0), circles=(False, False, False),
+               close=False, thickness=2):
+    """Re-export shim (reference: pero_ocr/core/layout.py:850-874)."""
+    from pero_ocr_tpu.core.render import draw_polyline
+
+    for line in lines:
+        draw_polyline(img, line, color, close=close, thickness=thickness,
+                      endpoint_circles=circles[0] or circles[2])
+    return img
+
+
 class PAGEVersion(Enum):
     PAGE_2019_07_15 = 1
     PAGE_2013_07_15 = 2

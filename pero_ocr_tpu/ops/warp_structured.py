@@ -102,9 +102,20 @@ def warp_lines_structured(
         lambda b, h: _line_geometry(b, h, ht, bucket)
     )(baselines, heights)
 
-    # Flatten (line, chunk) into one batch axis.
+    # Flatten (line, chunk) into one batch axis.  Chunks OVERLAP by
+    # MAX_SHIFT columns on each side so the per-row tilt rolls in pass 4
+    # have real neighbor data instead of wrapping; the center CHUNK
+    # columns are sliced out at the end.
+    cw = CHUNK + 2 * MAX_SHIFT
+
     def chunked(a):
-        return a.reshape(nk, CHUNK)
+        padded = jnp.pad(a, ((0, 0), (MAX_SHIFT, MAX_SHIFT)), mode="edge")
+        idx = (
+            jnp.arange(cw)[None, :]
+            + (jnp.arange(n_chunks) * CHUNK)[:, None]
+        )  # (K, CW)
+        windows = jnp.take(padded, idx, axis=1)  # (N, K, CW)
+        return windows.reshape(nk, cw)
 
     cx_c, cy_c = chunked(cx), chunked(cy)
     nx_c, ny_c, valid_c = chunked(nx), chunked(ny), chunked(valid)
@@ -189,6 +200,7 @@ def warp_lines_structured(
         out = out + sel * contrib
 
     out = out * valid_c[:, None, :, None]
+    out = out[:, :, MAX_SHIFT : MAX_SHIFT + CHUNK]  # drop chunk overlap
     out = out.reshape(n, n_chunks, ht, CHUNK, 3)
     return jnp.moveaxis(out, 1, 2).reshape(n, ht, bucket, 3)
 
