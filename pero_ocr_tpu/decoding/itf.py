@@ -118,6 +118,15 @@ def decoder_factory(
         wrapper = lm_factory(config, full_characters[:-1], config_path=config_path)
         lm = None
         if wrapper is not None:
+            identity = np.array_equal(
+                wrapper._map, np.arange(len(full_characters) - 1)
+            )
+            if not identity:
+                raise ValueError(
+                    "TPU-BEAM requires an LM whose vocabulary matches the "
+                    "decoder charset order (no vocab remapping in-graph "
+                    "yet); use TYPE=FAST-LOG-RAW for remapped LMs."
+                )
             lm = (wrapper._model, wrapper._variables)
         return TPUBeamSearchDecoder(
             full_characters, k=k, lm=lm, lm_scale=lm_scale,

@@ -357,6 +357,9 @@ class TPUPagePipeline:
                             baselines_masks[slot], connecteds[slot],
                             heights_maps[slot],
                         )
+                    # Lines beyond max_lines have no recognition slot.
+                    b_list = b_list[: self.max_lines]
+                    h_list = h_list[: self.max_lines]
                     page_geoms.append(
                         (b_list, h_list) + self._geometry(b_list, h_list)
                     )
