@@ -42,6 +42,24 @@ BLOCK_W = 224        # source cols per block (CHUNK * max spacing + margins)
 MAX_SHIFT = 4        # max per-row tilt shift in output columns
 
 
+def _interp_segments(t: jnp.ndarray, xp: jnp.ndarray,
+                     fp: jnp.ndarray) -> jnp.ndarray:
+    """Gather-free piecewise-linear interpolation on a sorted grid.
+
+    ``jnp.interp`` lowers to searchsorted + gather; elementwise gather
+    runs at only ~80M taps/s on this TPU and dominated the whole warp
+    kernel.  For monotone ``xp`` the same function has an exact
+    segment-sum identity (incl. np.interp's endpoint clamping):
+
+        f(t) = fp[0] + sum_i slope_i * clip(t - xp[i], 0, seg_i)
+
+    which is one (T, P-1) clip + one tiny matmul — no gather at all."""
+    seg = xp[1:] - xp[:-1]
+    slope = (fp[1:] - fp[:-1]) / jnp.maximum(seg, 1e-12)
+    contrib = jnp.clip(t[:, None] - xp[None, :-1], 0.0, seg[None, :])
+    return fp[0] + contrib @ slope
+
+
 def _line_geometry(baseline: jnp.ndarray, heights: jnp.ndarray,
                    target_height: int, bucket: int):
     """Per-output-column centers/normals on the arc-uniform grid (same
@@ -57,8 +75,8 @@ def _line_geometry(baseline: jnp.ndarray, heights: jnp.ndarray,
     t = jnp.arange(bucket, dtype=jnp.float32) * spacing
     valid = (t <= total).astype(jnp.float32)
 
-    cx = jnp.interp(t, arc, x)
-    cy = jnp.interp(t, arc, y)
+    cx = _interp_segments(t, arc, x)
+    cy = _interp_segments(t, arc, y)
     dx = jnp.gradient(cx)
     dy = jnp.gradient(cy)
     norm = jnp.maximum(jnp.hypot(dx, dy), 1e-6)
@@ -109,12 +127,12 @@ def warp_lines_structured(
     cw = CHUNK + 2 * MAX_SHIFT
 
     def chunked(a):
+        # Overlapping windows at a static stride: plain slices, no gather.
         padded = jnp.pad(a, ((0, 0), (MAX_SHIFT, MAX_SHIFT)), mode="edge")
-        idx = (
-            jnp.arange(cw)[None, :]
-            + (jnp.arange(n_chunks) * CHUNK)[:, None]
-        )  # (K, CW)
-        windows = jnp.take(padded, idx, axis=1)  # (N, K, CW)
+        windows = jnp.stack(
+            [padded[:, i * CHUNK : i * CHUNK + cw] for i in range(n_chunks)],
+            axis=1,
+        )  # (N, K, CW)
         return windows.reshape(nk, cw)
 
     cx_c, cy_c = chunked(cx), chunked(cy)
@@ -132,8 +150,11 @@ def warp_lines_structured(
     nym = jnp.where(jnp.abs(nym) < 0.5, 1.0, nym)
 
     first_valid = jnp.argmax(valid_c > 0, axis=1)       # (NK,)
-    anchor_x = jnp.take_along_axis(cx_c, first_valid[:, None], axis=1)[:, 0]
-    anchor_y = jnp.take_along_axis(cy_c, first_valid[:, None], axis=1)[:, 0]
+    onehot = (
+        jnp.arange(cw)[None, :] == first_valid[:, None]
+    ).astype(jnp.float32)                                # gather-free pick
+    anchor_x = (cx_c * onehot).sum(axis=1)
+    anchor_y = (cy_c * onehot).sum(axis=1)
     cy_for_min = jnp.where(valid_c > 0, cy_c, anchor_y[:, None])
 
     x_lo = anchor_x + jnp.min(v_c, axis=1) * nxm - 4.0
