@@ -29,7 +29,7 @@ class FastPagePipeline:
     """Build from an existing PageParser's engines."""
 
     def __init__(self, page_parser, page_batch: int = 4, max_lines: int = 64,
-                 crop_bucket: int = 2048, mesh=None):
+                 crop_bucket: int = 2048, mesh=None, transport_bits: int = 4):
         from pero_ocr_tpu.document.page_parser import LayoutExtractor
         from pero_ocr_tpu.parallel.pipeline import TPUPagePipeline
 
@@ -69,6 +69,7 @@ class FastPagePipeline:
             max_lines=max_lines,
             height_scale=cropper.scale,
             mesh=mesh,
+            transport_bits=transport_bits,
         )
 
     def process_pages(

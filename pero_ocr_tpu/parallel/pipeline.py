@@ -1,7 +1,9 @@
 """Device-resident page pipeline with cross-page overlap.
 
 The serving architecture for page throughput (SURVEY.md §7 step 9).
-Per batch of pages, ONE grayscale uint8 upload feeds everything:
+Per batch of pages, ONE grayscale upload feeds everything (optionally
+packed two 4-bit pixels per byte — ``transport_bits=4`` — since the
+host link, not the chip, bounds end-to-end throughput):
 
 - **Stage A** (one jitted dispatch): device area-downsample -> ParseNet
   maps -> fused post-processing.  Only tiny artifacts return to the
@@ -62,11 +64,20 @@ class TPUPagePipeline:
         max_lines: int = 64,
         height_scale: float = 1.0,
         mesh=None,
+        transport_bits: int = 8,
     ):
         """``mesh``: optional jax.sharding.Mesh with a 'dp' axis — page
         batches shard across it (page_batch must be a multiple of the dp
         size); stage programs are jitted with batch-over-dp input
-        shardings and GSPMD partitions the compute."""
+        shardings and GSPMD partitions the compute.
+
+        ``transport_bits``: 8 uploads raw grayscale pages; 4 packs two
+        rounded 4-bit pixels per byte on the host and reconstructs on
+        device (x16 quantization, error <= 8 gray levels) — halves the
+        host-link bytes, which bound end-to-end page throughput."""
+        if transport_bits not in (4, 8):
+            raise ValueError("transport_bits must be 4 or 8")
+        self.transport_bits = transport_bits
         self.mesh = mesh
         self.height_scale = height_scale  # LINE_CROPPER LINE_SCALE semantics
         self.downsample = downsample
@@ -193,7 +204,30 @@ class TPUPagePipeline:
 
         self._stage_b = stage_b
 
+        @jax.jit
+        def unpack4(packed_u8):
+            """(PB, H, W/2) packed nibbles -> (PB, H, W) uint8 pages.
+            q*17 maps 0..15 back onto 0..255 exactly at the endpoints."""
+            hi = (packed_u8 >> 4) * jnp.uint8(17)
+            lo = (packed_u8 & 0xF) * jnp.uint8(17)
+            pb, h, w2 = packed_u8.shape
+            return jnp.stack([hi, lo], axis=-1).reshape(pb, h, w2 * 2)
+
+        self._unpack4 = unpack4
+
     # ------------------------------------------------------------------
+    @staticmethod
+    def _pack4(grays: np.ndarray) -> np.ndarray:
+        """(PB, H, W) uint8 -> (PB, H, W/2) rounded 4-bit pairs.  Odd
+        widths get one replicated edge column first (a one-pixel-wide
+        page-border artifact; baseline coordinates are unaffected)."""
+        if grays.shape[2] % 2:
+            grays = np.concatenate([grays, grays[:, :, -1:]], axis=2)
+        # round(v / 17): bins center on the decoder's q*17 grid, so the
+        # roundtrip error is at most ceil(17/2) = 9 gray levels.
+        q = ((grays.astype(np.uint16) + 8) // 17).astype(np.uint8)
+        return (q[:, :, 0::2] << 4) | q[:, :, 1::2]
+
     @staticmethod
     def _gray(page: np.ndarray) -> np.ndarray:
         """Single-channel uint8 view of a page (pages travel grayscale over
@@ -317,8 +351,11 @@ class TPUPagePipeline:
             # Pad the final batch by repeating its last page so every
             # dispatch reuses the same compiled shape.
             padded = ids + [ids[-1]] * (page_batch - len(ids))
-            grays = [self._gray(pages[i]) for i in padded]
-            stack = jnp.asarray(np.stack(grays))
+            grays = np.stack([self._gray(pages[i]) for i in padded])
+            if self.transport_bits == 4:
+                stack = self._unpack4(jnp.asarray(self._pack4(grays)))
+            else:
+                stack = jnp.asarray(grays)
             device_pages[batch_idx] = stack
             stage_a_out[batch_idx] = self._stage_a(stack)
 

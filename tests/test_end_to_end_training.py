@@ -223,3 +223,77 @@ class TestTrainedEndToEnd:
         # And the result serializes with the transcriptions.
         xml = layout.to_pagexml_string()
         assert got[0] in xml or cer < 0.3
+
+    def test_fast_pipeline_4bit_transport(self, trained_checkpoint):
+        """The trained recognizer through the device-resident serving
+        pipeline (TPUPagePipeline): the x16 4-bit transport quantization
+        must be quality-NEUTRAL (same transcriptions as 8-bit transport)
+        and both must read the page (CER well under the host-path
+        test's allowance)."""
+        from pero_ocr_tpu.models.parsenet import ParseNet
+        from pero_ocr_tpu.ocr.ctc_engine import CTCEngineLineOCR
+        from pero_ocr_tpu.parallel.pipeline import TPUPagePipeline
+        from pero_ocr_tpu.sequence_alignment import levenshtein_distance
+
+        ocr_json, texts, images = trained_checkpoint
+        engine = CTCEngineLineOCR(ocr_json, batch_size=16)
+
+        page = np.full((300, 240, 3), 250, np.uint8)
+        # Black left margin: together with the off-page border columns it
+        # reproduces the engine's 32px zero (black) left pad the model
+        # was trained with.
+        page[:, :30] = 0
+        ys = [40, 105, 170, 235]
+        for y, img in zip(ys, images[:4]):
+            page[y : y + LINE_H, 30 : 30 + img.shape[1]] = img
+
+        parsenet = ParseNet(base_features=4, depth=2)
+        pn_params = parsenet.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
+        )
+        pipelines = {
+            bits: TPUPagePipeline(
+                parsenet, pn_params, engine.model, engine.variables,
+                downsample=4, crop_height=LINE_H, crop_bucket=256,
+                max_lines=8, transport_bits=bits,
+            )
+            for bits in (8, 4)
+        }
+
+        def page_lines(_):
+            baselines, heights = [], []
+            for y, img in zip(ys, images[:4]):
+                # Start 32px left of the ink: the off-page columns warp to
+                # zeros, reproducing the engine's trained input layout
+                # (LINE_PADDING_PX left zero pad, line_ocr_engine.py).
+                # ... and 16px past the ink on the right so the final
+                # character keeps its trailing background context.
+                baselines.append(np.array(
+                    [[30 - 32, y + LINE_H],
+                     [30 + img.shape[1] + 16, y + LINE_H]],
+                    float,
+                ))
+                heights.append([float(LINE_H), 0.0])
+            return baselines, heights
+
+        hyps = {}
+        for bits, pipeline in pipelines.items():
+            got = []
+            for result in pipeline.run([page], lines_override=page_lines,
+                                       page_batch=1):
+                for i in range(4):
+                    n = int(result.label_lengths[i])
+                    got.append("".join(
+                        CHARS[j] for j in result.labels[i][:n]
+                    ))
+            hyps[bits] = got
+
+        # Transport quantization must not change what the model reads.
+        assert hyps[4] == hyps[8], f"4-bit {hyps[4]} != 8-bit {hyps[8]}"
+
+        gt_all = "".join(texts[:4]).replace(" ", "")
+        hyp_all = "".join(hyps[4]).replace(" ", "")
+        cer = levenshtein_distance(list(gt_all), list(hyp_all)) / len(gt_all)
+        # Absolute sanity bound: same allowance as the host-path pipeline
+        # test above (tiny model + warp rendering differences).
+        assert cer < 0.15, f"pipeline CER {cer:.2f}: gt={texts[:4]} hyp={hyps[4]}"

