@@ -61,6 +61,12 @@ def parse_arguments():
     parser.add_argument("--fast-pipeline", action="store_true",
                         help="Device-resident batched pipeline (CNN layout "
                              "+ CTC configs; XML/transcript outputs only).")
+    parser.add_argument("--transport-bits", type=int, choices=[4, 8],
+                        default=4,
+                        help="Fast-pipeline page upload depth: 4 packs two "
+                             "pixels per byte (half the link bytes, "
+                             "transcription-neutral), 8 sends raw "
+                             "grayscale.")
     parser.add_argument("--process-count", type=int, default=1,
                         help="Parallel page processes (line-cropping-only "
                              "configs; neural stages run in-process).")
@@ -396,7 +402,9 @@ def main():
             sys.exit(2)
         from pero_ocr_tpu.document.fast_pipeline import FastPagePipeline
 
-        fast = FastPagePipeline(page_parser)
+        fast = FastPagePipeline(
+            page_parser, transport_bits=args.transport_bits
+        )
         images = [
             cv2.imread(os.path.join(input_image_path, f), 1)
             for f in images_to_process
