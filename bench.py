@@ -94,7 +94,7 @@ def main():
 
     pipeline = TPUPagePipeline(
         parsenet, pn_params, recognizer, rec_params,
-        downsample=4, crop_bucket=1024, max_lines=N_TEXT_ROWS,
+        downsample=4, crop_bucket=1024, line_slot=N_TEXT_ROWS,
         transport_bits=4,
     )
 

@@ -28,8 +28,9 @@ from pero_ocr_tpu.layout_engines import helpers
 class FastPagePipeline:
     """Build from an existing PageParser's engines."""
 
-    def __init__(self, page_parser, page_batch: int = 4, max_lines: int = 64,
-                 crop_bucket: int = 2048, mesh=None, transport_bits: int = 4):
+    def __init__(self, page_parser, page_batch: int = 4, max_lines=None,
+                 line_slot: int = 32, crop_bucket: int = 2048, mesh=None,
+                 transport_bits: int = 4):
         from pero_ocr_tpu.document.page_parser import LayoutExtractor
         from pero_ocr_tpu.parallel.pipeline import TPUPagePipeline
 
@@ -67,6 +68,7 @@ class FastPagePipeline:
             crop_height=cropper.line_height,
             crop_bucket=crop_bucket,
             max_lines=max_lines,
+            line_slot=line_slot,
             height_scale=cropper.scale,
             mesh=mesh,
             transport_bits=transport_bits,

@@ -61,7 +61,8 @@ class TPUPagePipeline:
         line_end_weight: float = 1.0,
         crop_height: int = 32,
         crop_bucket: int = 1024,
-        max_lines: int = 64,
+        line_slot: int = 32,
+        max_lines: Optional[int] = None,
         height_scale: float = 1.0,
         mesh=None,
         transport_bits: int = 8,
@@ -70,6 +71,13 @@ class TPUPagePipeline:
         batches shard across it (page_batch must be a multiple of the dp
         size); stage programs are jitted with batch-over-dp input
         shardings and GSPMD partitions the compute.
+
+        ``line_slot``: the line axis of each stage-B dispatch is padded to
+        a multiple of this, sized to the densest page in the batch — NO
+        line cap (the reference has none either,
+        reference: pero_ocr/ocr_engine/line_ocr_engine.py:79-127); each
+        distinct multiple compiles one extra stage-B program.
+        ``max_lines``: optional explicit hard cap (None = unlimited).
 
         ``transport_bits``: 8 uploads raw grayscale pages; 4 packs two
         rounded 4-bit pixels per byte on the host and reconstructs on
@@ -86,6 +94,7 @@ class TPUPagePipeline:
         self.crop_height = crop_height
         self.crop_bucket = crop_bucket
         self.max_lines = max_lines
+        self.line_slot = line_slot if max_lines is None else min(line_slot, max_lines)
 
         pn_apply = parsenet_model.apply
         rec_apply = recognizer_model.apply
@@ -290,17 +299,17 @@ class TPUPagePipeline:
 
     BASELINE_POINTS = 16
 
-    def _geometry(self, b_list, h_list):
+    def _geometry(self, b_list, h_list, n_slot: int):
         """Resample baselines to a fixed point count and pad the line axis
-        to max_lines: (max_lines, P, 2) + (max_lines, 2) + widths."""
-        n = min(len(b_list), self.max_lines)
+        to the batch's slot count: (n_slot, P, 2) + (n_slot, 2) + widths."""
+        n = len(b_list)
         if n == 0:
             return None, None, None
         baselines = np.zeros(
-            (self.max_lines, self.BASELINE_POINTS, 2), np.float32
+            (n_slot, self.BASELINE_POINTS, 2), np.float32
         )
-        heights = np.ones((self.max_lines, 2), np.float32)
-        widths = np.zeros(self.max_lines, np.int32)
+        heights = np.ones((n_slot, 2), np.float32)
+        widths = np.zeros(n_slot, np.int32)
         for i in range(n):
             resampled = line_geometry.resample_baseline(
                 np.asarray(b_list[i], float), self.BASELINE_POINTS
@@ -385,7 +394,7 @@ class TPUPagePipeline:
             ).repeat(2, axis=1).repeat(2, axis=2)
 
             with stage_timer("pipeline/host_geometry"):
-                page_geoms = []
+                page_lines = []
                 for slot, i in enumerate(ids):
                     if lines_override is not None:
                         b_list, h_list = lines_override(pages[i])
@@ -394,12 +403,23 @@ class TPUPagePipeline:
                             baselines_masks[slot], connecteds[slot],
                             heights_maps[slot],
                         )
-                    # Lines beyond max_lines have no recognition slot.
-                    b_list = b_list[: self.max_lines]
-                    h_list = h_list[: self.max_lines]
-                    page_geoms.append(
-                        (b_list, h_list) + self._geometry(b_list, h_list)
-                    )
+                    if self.max_lines is not None:
+                        b_list = b_list[: self.max_lines]
+                        h_list = h_list[: self.max_lines]
+                    page_lines.append((b_list, h_list))
+                # Pad the line axis to the densest page in the batch,
+                # rounded up to a line_slot multiple (bounds distinct
+                # stage-B compile shapes; no line is ever dropped).
+                max_n = max(len(b) for b, _ in page_lines)
+                n_slot = max(
+                    self.line_slot,
+                    int(np.ceil(max_n / self.line_slot)) * self.line_slot,
+                )
+                page_geoms = [
+                    (b_list, h_list)
+                    + self._geometry(b_list, h_list, n_slot)
+                    for b_list, h_list in page_lines
+                ]
 
             any_lines = any(g[2] is not None for g in page_geoms)
             if not any_lines:
@@ -411,9 +431,9 @@ class TPUPagePipeline:
 
             with stage_timer("pipeline/stage_b"):
                 zeros_b = np.zeros(
-                    (self.max_lines, self.BASELINE_POINTS, 2), np.float32
+                    (n_slot, self.BASELINE_POINTS, 2), np.float32
                 )
-                ones_h = np.ones((self.max_lines, 2), np.float32)
+                ones_h = np.ones((n_slot, 2), np.float32)
                 bl = np.stack(
                     [
                         g[2] if g[2] is not None else zeros_b

@@ -134,7 +134,43 @@ grep -q "summary 0.00 % CER" cer.log || { echo "FAIL: nonzero self-CER"; exit 1;
 echo "== eval CLI OK"
 
 # ----------------------------------------------------------------------
-# 5. Searchable PDFs from the outputs
+# 5. Fast pipeline (--fast-pipeline: device-resident batched path with
+#    CNN layout + CTC OCR; XML out only)
+# ----------------------------------------------------------------------
+cat > fast.ini <<'EOF'
+[PAGE_PARSER]
+RUN_LAYOUT_PARSER = yes
+RUN_LINE_CROPPER = yes
+RUN_OCR = yes
+
+[LAYOUT_PARSER_1]
+METHOD = LAYOUT_CNN
+DOWNSAMPLE = 4
+DETECTION_THRESHOLD = 0.2
+MAX_MEGAPIXELS = 5
+ADAPTIVE_DOWNSAMPLE = no
+
+[LINE_CROPPER]
+INTERP = 2
+LINE_SCALE = 1.0
+LINE_HEIGHT = 16
+
+[OCR]
+OCR_JSON = ocr.json
+EOF
+python "$REPO/scripts/parse_folder.py" -c fast.ini -i images --device cpu \
+    --fast-pipeline --output-xml-path out_fast_xml
+[ "$(ls out_fast_xml | wc -l)" -eq 3 ] || { echo "FAIL: fast XML missing"; exit 1; }
+python - <<'EOF'
+import lxml.etree as ET
+for p in range(3):
+    tree = ET.parse(f"out_fast_xml/page{p}.xml")
+    assert tree.findall(".//{*}TextRegion"), f"page{p}: no regions"
+print("== fast-pipeline XML OK")
+EOF
+
+# ----------------------------------------------------------------------
+# 6. Searchable PDFs from the outputs
 # ----------------------------------------------------------------------
 python "$REPO/scripts/produce_2layer_pdf.py" out_xml images out_pdf
 [ "$(ls out_pdf | wc -l)" -eq 3 ] || { echo "FAIL: missing PDFs"; exit 1; }

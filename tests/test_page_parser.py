@@ -458,7 +458,7 @@ class TestFastPipelineAdapter:
         }
         del config["LAYOUT_PARSER_2"]
         parser = PageParser(config)
-        fast = FastPagePipeline(parser, page_batch=2, max_lines=8,
+        fast = FastPagePipeline(parser, page_batch=2, line_slot=8,
                                  crop_bucket=256)
         pages = [make_synthetic_page(width=256, height=256) for _ in range(3)]
         layouts = list(fast.process_pages(pages, ["a", "b", "c"]))
