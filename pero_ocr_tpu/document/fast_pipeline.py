@@ -30,7 +30,7 @@ class FastPagePipeline:
 
     def __init__(self, page_parser, page_batch: int = 4, max_lines=None,
                  line_slot: int = 32, crop_bucket: int = 2048, mesh=None,
-                 transport_bits: int = 4):
+                 transport_bits: int = 4, transport: str = "page"):
         from pero_ocr_tpu.document.page_parser import LayoutExtractor
         from pero_ocr_tpu.parallel.pipeline import TPUPagePipeline
 
@@ -72,6 +72,7 @@ class FastPagePipeline:
             height_scale=cropper.scale,
             mesh=mesh,
             transport_bits=transport_bits,
+            transport=transport,
         )
 
     def process_pages(

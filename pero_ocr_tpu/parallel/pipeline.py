@@ -1,9 +1,11 @@
 """Device-resident page pipeline with cross-page overlap.
 
 The serving architecture for page throughput (SURVEY.md §7 step 9).
-Per batch of pages, ONE grayscale upload feeds everything (optionally
-packed two 4-bit pixels per byte — ``transport_bits=4`` — since the
-host link, not the chip, bounds end-to-end throughput):
+Two transport modes, selected by the deployment's binding constraint:
+
+``transport="page"`` (device-warp; best when the host link is fast):
+per batch of pages, ONE grayscale upload feeds everything (optionally
+packed two 4-bit pixels per byte — ``transport_bits=4``):
 
 - **Stage A** (one jitted dispatch): device area-downsample -> ParseNet
   maps -> fused post-processing.  Only tiny artifacts return to the
@@ -15,8 +17,19 @@ host link, not the chip, bounds end-to-end throughput):
   gather-free crop warp -> CTC recognizer -> greedy labels.  Only packed
   label ids come back.
 
-Batches overlap: the NEXT batch's upload + stage-A dispatch run on a
-worker thread while this thread post-processes the current batch.
+``transport="crops"`` (host-warp; best when the host link is slow):
+full pages never travel.  Stage A consumes a HOST-downsampled 1/4-res
+page; the host warps line crops itself (cv2.remap over the measured
+warp field — ~2.5ms for 40 lines, vs ~30ms to push the full page
+through a 25MB/s link) and uploads only the packed crops (~0.7MB/page
+total vs ~2.3MB) for the recognizer.  Measured on the v5e tunnel
+(scripts/microbench_tunnel.py): zero padding compresses in transport
+(~142MB/s vs ~55MB/s for entropy-dense bytes), so bucket padding is
+nearly free.
+
+Batches overlap twice: the NEXT batch's upload + stage-A dispatch run on
+a worker thread while this thread post-processes the current batch, and
+stage-B label fetches trail one batch behind their dispatch.
 
 On a multi-chip mesh the page batch axis shards over ``dp``; on one chip
 this degenerates to the pipelined single-stream below.
@@ -66,6 +79,7 @@ class TPUPagePipeline:
         height_scale: float = 1.0,
         mesh=None,
         transport_bits: int = 8,
+        transport: str = "page",
     ):
         """``mesh``: optional jax.sharding.Mesh with a 'dp' axis — page
         batches shard across it (page_batch must be a multiple of the dp
@@ -79,12 +93,25 @@ class TPUPagePipeline:
         distinct multiple compiles one extra stage-B program.
         ``max_lines``: optional explicit hard cap (None = unlimited).
 
-        ``transport_bits``: 8 uploads raw grayscale pages; 4 packs two
+        ``transport_bits``: 8 uploads raw grayscale pixels; 4 packs two
         rounded 4-bit pixels per byte on the host and reconstructs on
         device (x16 quantization, error <= 8 gray levels) — halves the
-        host-link bytes, which bound end-to-end page throughput."""
-        if transport_bits not in (4, 8):
-            raise ValueError("transport_bits must be 4 or 8")
+        host-link bytes, which bound end-to-end page throughput; 2 (crop
+        transport only, for high-contrast print) packs four 2-bit pixels
+        per byte for the CROPS while the layout page stays 4-bit.
+
+        ``transport``: "page" ships whole pages and warps crops on
+        device; "crops" ships a host-downsampled 1/4-res page for layout
+        plus host-warped line crops (~3x fewer link bytes; see module
+        docstring)."""
+        if transport not in ("page", "crops"):
+            raise ValueError("transport must be 'page' or 'crops'")
+        if transport_bits not in ((2, 4, 8) if transport == "crops" else (4, 8)):
+            raise ValueError(
+                f"transport_bits={transport_bits} invalid for "
+                f"transport='{transport}' (2-bit is crops-only)"
+            )
+        self.transport = transport
         self.transport_bits = transport_bits
         self.mesh = mesh
         self.height_scale = height_scale  # LINE_CROPPER LINE_SCALE semantics
@@ -98,31 +125,19 @@ class TPUPagePipeline:
 
         pn_apply = parsenet_model.apply
         rec_apply = recognizer_model.apply
+        recognizer_num_classes = getattr(
+            getattr(recognizer_model, "spec", None), "num_classes", 256
+        )
 
         ds = downsample
 
-        @jax.jit
-        def stage_a(pages_u8):
-            """pages_u8: (PB, H, W) uint8 GRAYSCALE full pages — the SAME
-            upload stage B consumes (the host link runs ~25MB/s, so pages
-            travel once, single-channel; the device area-downsamples for
-            ParseNet and broadcasts to the models' 3-channel input).
+        def maps_and_pack(small):
+            """small: (PB, h64, w64, 1) float gray in [0, 255] at 1/ds
+            resolution -> packed masks + quantized heights.
 
             Downloads are minimized: both masks bit-pack 4 px/byte and
             heights quantize to half-res uint8 quarter-pixels — ~0.2MB per
             page instead of the 5.7MB raw float maps."""
-            x = pages_u8.astype(jnp.float32)[..., None]  # (PB, H, W, 1)
-            small = jax.lax.reduce_window(
-                x, 0.0, jax.lax.add, (1, ds, ds, 1), (1, ds, ds, 1), "VALID"
-            ) / (ds * ds)
-            # Pad to multiples of 64 for the U-Net.
-            h64 = int(np.ceil(small.shape[1] / 64) * 64)
-            w64 = int(np.ceil(small.shape[2] / 64) * 64)
-            small = jnp.pad(
-                small,
-                ((0, 0), (0, h64 - small.shape[1]), (0, w64 - small.shape[2]),
-                 (0, 0)),
-            )
             images = jnp.broadcast_to(
                 small / 255.0, small.shape[:3] + (3,)
             )
@@ -156,6 +171,33 @@ class TPUPagePipeline:
             ).astype(jnp.uint8)
             return packed, heights_q
 
+        @jax.jit
+        def stage_a(pages_u8):
+            """pages_u8: (PB, H, W) uint8 GRAYSCALE full pages — the SAME
+            upload stage B consumes (pages travel once, single-channel;
+            the device area-downsamples for ParseNet and broadcasts to
+            the models' 3-channel input)."""
+            x = pages_u8.astype(jnp.float32)[..., None]  # (PB, H, W, 1)
+            small = jax.lax.reduce_window(
+                x, 0.0, jax.lax.add, (1, ds, ds, 1), (1, ds, ds, 1), "VALID"
+            ) / (ds * ds)
+            # Pad to multiples of 64 for the U-Net.
+            h64 = int(np.ceil(small.shape[1] / 64) * 64)
+            w64 = int(np.ceil(small.shape[2] / 64) * 64)
+            small = jnp.pad(
+                small,
+                ((0, 0), (0, h64 - small.shape[1]), (0, w64 - small.shape[2]),
+                 (0, 0)),
+            )
+            return maps_and_pack(small)
+
+        @jax.jit
+        def stage_a_small(small_u8):
+            """Crop-transport stage A: small_u8 is the (PB, h64, w64)
+            uint8 1/ds-res page the HOST already downsampled (cv2
+            INTER_AREA) — the full page never crosses the link."""
+            return maps_and_pack(small_u8.astype(jnp.float32)[..., None])
+
         crop_h = crop_height
         bucket = crop_bucket
 
@@ -178,6 +220,29 @@ class TPUPagePipeline:
             )(pages3, baselines, heights)
             return crops.reshape((pb * n,) + crops.shape[2:])
 
+        @jax.jit
+        def stage_b_warp_gather(pages_u8, baselines, heights):
+            """Exact-warp fallback (XLA gather, cv2.remap semantics) for
+            batches with lines the structured path would distort — strong
+            tilt beyond its MAX_SHIFT roll budget or spans beyond its
+            block budget (ops/warp_structured.structured_warp_supported;
+            the host picks the program per batch)."""
+            from pero_ocr_tpu.ops import warp as warp_ops
+
+            pb, n = baselines.shape[:2]
+            pages3 = jnp.broadcast_to(
+                pages_u8[..., None], pages_u8.shape + (3,)
+            )
+
+            def one(page, bl, h):
+                fields = warp_ops.build_fields_device(
+                    bl, h, crop_h, bucket
+                )
+                return warp_ops.warp_lines_xla(page, fields)
+
+            crops = jax.vmap(one)(pages3, baselines, heights)
+            return crops.reshape((pb * n,) + crops.shape[2:])
+
         def stage_b_recognize(crops, pb: int):
             """Crops stay device-resident between the two programs.  (Kept
             as a SEPARATE program from the warp: fused into one, XLA
@@ -189,6 +254,65 @@ class TPUPagePipeline:
             n = crops.shape[0] // pb
             return labels.reshape(pb, n, -1), lengths.reshape(pb, n)
 
+        def unpack4_expr(packed_u8):
+            """(..., H, W/2) nibble pairs -> (..., H, W) uint8 (inline
+            expression shared by the jitted programs)."""
+            hi = (packed_u8 >> 4) * jnp.uint8(17)
+            lo = (packed_u8 & 0xF) * jnp.uint8(17)
+            return jnp.stack([hi, lo], axis=-1).reshape(
+                packed_u8.shape[:-1] + (packed_u8.shape[-1] * 2,)
+            )
+
+        def unpack2_expr(packed_u8):
+            """(..., H, W/4) 2-bit quads -> (..., H, W) uint8; q*85 maps
+            0..3 onto 0..255 exactly at the endpoints."""
+            quads = [
+                ((packed_u8 >> (2 * i)) & 0x3) * jnp.uint8(85)
+                for i in range(4)
+            ]
+            return jnp.stack(quads, axis=-1).reshape(
+                packed_u8.shape[:-1] + (packed_u8.shape[-1] * 4,)
+            )
+
+        def stage_b_crops(crops_u8, pb: int):
+            """Crop-transport stage B: crops_u8 is (PB*N, Hc, Wb) uint8
+            grayscale host-warped crops — or (PB*N, Hc, Wb/2) nibble
+            pairs when transport_bits=4, (PB*N, Hc, Wb/4) 2-bit quads
+            when transport_bits=2 — the device unpacks, broadcasts
+            channels, and recognizes."""
+            if transport_bits == 4:
+                crops_u8 = unpack4_expr(crops_u8)
+            elif transport_bits == 2:
+                crops_u8 = unpack2_expr(crops_u8)
+            crops3 = jnp.broadcast_to(
+                crops_u8[..., None].astype(jnp.float32),
+                crops_u8.shape + (3,),
+            )
+            return stage_b_recognize(crops3, pb)
+
+        def combined_crops(small_u8, crops_u8, pb: int):
+            """ONE program per batch for the crop transport: stage A of
+            batch i (small pages -> packed masks) fused with recognition
+            of batch i-1's host-warped crops.  The tunnel then sees a
+            single repeated program — no program alternation charge and
+            exactly one forced sync per batch (the dominant costs once
+            link bytes are minimized; see scripts/microbench_tunnel.py).
+
+            small_u8: (PB, h64, w64) uint8 1/ds pages, or (PB, h64,
+            w64/2) nibble-packed when transport_bits<=4 (the layout page
+            never drops below 4-bit; only crops do at 2)."""
+            if transport_bits in (2, 4):
+                small_u8 = unpack4_expr(small_u8)
+            packed, heights_q = maps_and_pack(
+                small_u8.astype(jnp.float32)[..., None]
+            )
+            labels, lengths = stage_b_crops(crops_u8, pb)
+            # Label ids fit a byte for <255-class charsets (pad -1 ->
+            # 255): quarters the label download.
+            if recognizer_num_classes <= 255:
+                labels = labels.astype(jnp.uint8)
+            return packed, heights_q, labels, lengths
+
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -196,19 +320,47 @@ class TPUPagePipeline:
             stage_a = jax.jit(
                 stage_a.__wrapped__, in_shardings=(batch_sh,)
             )
+            stage_a_small = jax.jit(
+                stage_a_small.__wrapped__, in_shardings=(batch_sh,)
+            )
             stage_b_warp = jax.jit(
                 stage_b_warp.__wrapped__,
                 in_shardings=(batch_sh, batch_sh, batch_sh),
             )
+            stage_b_warp_gather = jax.jit(
+                stage_b_warp_gather.__wrapped__,
+                in_shardings=(batch_sh, batch_sh, batch_sh),
+            )
+            self._stage_b_crops = jax.jit(
+                stage_b_crops, static_argnums=(1,),
+                in_shardings=(batch_sh,),
+            )
+            self._combined_crops = jax.jit(
+                combined_crops, static_argnums=(2,),
+                in_shardings=(batch_sh, batch_sh),
+            )
+        else:
+            self._stage_b_crops = jax.jit(
+                stage_b_crops, static_argnums=(1,)
+            )
+            self._combined_crops = jax.jit(
+                combined_crops, static_argnums=(2,)
+            )
 
         self._stage_a = stage_a
+        self._stage_a_small = stage_a_small
         self._stage_b_warp = stage_b_warp
+        self._stage_b_warp_gather = stage_b_warp_gather
         self._stage_b_recognize = jax.jit(
             stage_b_recognize, static_argnums=(1,)
         )
 
-        def stage_b(pages_u8, baselines, heights):
-            crops = stage_b_warp(pages_u8, baselines, heights)
+        def stage_b(pages_u8, baselines, heights, structured_ok=True):
+            warp = (
+                self._stage_b_warp if structured_ok
+                else self._stage_b_warp_gather
+            )
+            crops = warp(pages_u8, baselines, heights)
             return self._stage_b_recognize(crops, baselines.shape[0])
 
         self._stage_b = stage_b
@@ -237,6 +389,31 @@ class TPUPagePipeline:
         q = ((grays.astype(np.uint16) + 8) // 17).astype(np.uint8)
         return (q[:, :, 0::2] << 4) | q[:, :, 1::2]
 
+    # Zero-mean 2x2 Bayer offsets in gray levels for one 85-wide
+    # quantization step: ordered dithering keeps the LOCAL MEAN intensity
+    # of anti-aliased glyph edges through the 4-level quantizer (what the
+    # recognizer's first conv actually integrates), where plain rounding
+    # posterizes edges and shifts them by up to half a step.
+    _BAYER2 = np.array([[-32, 11], [32, -11]], np.int16)
+
+    @classmethod
+    def _pack2(cls, grays: np.ndarray) -> np.ndarray:
+        """(N, H, W) uint8 -> (N, H, W/4) dithered 2-bit quads (W must be
+        a multiple of 4; crop buckets are).  Decode is q*85."""
+        h, w = grays.shape[1], grays.shape[2]
+        offs = cls._BAYER2[
+            np.ix_(np.arange(h) & 1, np.arange(w) & 1)
+        ]
+        q = np.clip(
+            (grays.astype(np.int16) + 42 + offs) // 85, 0, 3
+        ).astype(np.uint8)
+        return (
+            q[:, :, 0::4]
+            | (q[:, :, 1::4] << 2)
+            | (q[:, :, 2::4] << 4)
+            | (q[:, :, 3::4] << 6)
+        )
+
     @staticmethod
     def _gray(page: np.ndarray) -> np.ndarray:
         """Single-channel uint8 view of a page (pages travel grayscale over
@@ -259,6 +436,70 @@ class TPUPagePipeline:
         canvas = np.zeros((h, w), np.uint8)
         canvas[: small.shape[0], : small.shape[1]] = small
         return canvas
+
+    # Max deviation (px) of interior baseline points from the chord below
+    # which a line counts as straight and takes the affine fast path.
+    STRAIGHT_TOL_PX = 0.75
+
+    def _host_crops(
+        self, gray: np.ndarray, b_list, h_list, n_slot: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Crop-transport warp (host; same warp math as the stage-by-stage
+        cropper, reference: pero_ocr/core/crop_engine.py:54-99).
+
+        Straight baselines (the vast majority on print pages) take a
+        single inverse-affine ``cv2.warpAffine`` — ~60us/line vs ~700us
+        for the cubic warp-field build — mathematically identical there:
+        output column j sits at arc position j/scale along the chord, row
+        r at linspace(-asc, desc) along the normal.  Curved lines fall
+        back to the measured warp field + ``cv2.remap``."""
+        import cv2
+
+        crops = np.zeros(
+            (n_slot, self.crop_height, self.crop_bucket), np.uint8
+        )
+        widths = np.zeros(n_slot, np.int32)
+        hc = self.crop_height
+        for i, (bl, hh) in enumerate(zip(b_list, h_list)):
+            bl = np.asarray(bl, float)
+            asc, desc = np.asarray(hh, float) * self.height_scale
+            chord = bl[-1] - bl[0]
+            clen = float(np.hypot(chord[0], chord[1]))
+            scale = hc / max(asc + desc, 1e-6)
+            if len(bl) > 2 and clen > 1e-6:
+                u = chord / clen
+                rel = bl - bl[0]
+                dev = float(
+                    np.abs(rel[:, 0] * u[1] - rel[:, 1] * u[0]).max()
+                )
+            else:
+                dev = 0.0
+            if dev <= self.STRAIGHT_TOL_PX and clen > 1e-6:
+                w = max(min(int(clen * scale), self.crop_bucket), 1)
+                u = chord / clen
+                nvec = np.array([-u[1], u[0]])
+                dv = (asc + desc) / max(hc - 1, 1)
+                p0 = bl[0] + nvec * (-asc)
+                m = np.array([
+                    [u[0] / scale, nvec[0] * dv, p0[0]],
+                    [u[1] / scale, nvec[1] * dv, p0[1]],
+                ])
+                crops[i, :, :w] = cv2.warpAffine(
+                    gray, m, (w, hc),
+                    flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
+                    borderMode=cv2.BORDER_CONSTANT,
+                )
+            else:
+                field = line_geometry.warp_field(
+                    bl, np.asarray(hh, float) * self.height_scale, hc
+                )
+                w = min(field.shape[1], self.crop_bucket)
+                crops[i, :, :w] = cv2.remap(
+                    gray, field[:, :w, 0], field[:, :w, 1],
+                    cv2.INTER_LINEAR, borderMode=cv2.BORDER_CONSTANT,
+                )
+            widths[i] = w
+        return crops, widths
 
     def _lines_from_masks(
         self, baselines_mask, connected, heights_map
@@ -339,14 +580,79 @@ class TPUPagePipeline:
         CNN line detection (used by benchmarks / classical-layout
         configs); stage A still runs to include its cost."""
         pages = list(pages)
-        n = len(pages)
-        if n == 0:
+        if not pages:
             return
+        if self.transport == "crops":
+            yield from self._run_crops(pages, lines_override, page_batch)
+        else:
+            yield from self._run_page(pages, lines_override, page_batch)
 
+    def _unpack_stage_a(self, packed, heights_q):
+        """Host side of the stage-A artifact transport: 4x 2-bit pixels
+        per byte -> masks; heights upsampled 2x back."""
+        two_bit = np.stack(
+            [(packed >> (2 * i)) & 3 for i in range(4)], axis=-1
+        ).reshape(packed.shape[0], packed.shape[1], packed.shape[2] * 4)
+        baselines_masks = two_bit & 1
+        connecteds = (two_bit >> 1) & 1
+        heights_maps = (
+            heights_q.astype(np.float32) / 4.0
+        ).repeat(2, axis=1).repeat(2, axis=2)
+        return baselines_masks, connecteds, heights_maps
+
+    def _batch_lines(self, pages, ids, lines_override, masks):
+        """Per-page line sets for one batch + the padded slot count.
+
+        The line axis pads to the densest page in the batch, rounded up
+        to a line_slot multiple (bounds distinct stage-B compile shapes;
+        no line is ever dropped)."""
+        baselines_masks, connecteds, heights_maps = masks
+        page_lines = []
+        for slot, i in enumerate(ids):
+            if lines_override is not None:
+                b_list, h_list = lines_override(pages[i])
+            else:
+                b_list, h_list = self._lines_from_masks(
+                    baselines_masks[slot], connecteds[slot],
+                    heights_maps[slot],
+                )
+            if self.max_lines is not None:
+                b_list = b_list[: self.max_lines]
+                h_list = h_list[: self.max_lines]
+            page_lines.append((b_list, h_list))
+        max_n = max(len(b) for b, _ in page_lines)
+        n_slot = max(
+            self.line_slot,
+            int(np.ceil(max_n / self.line_slot)) * self.line_slot,
+        )
+        return page_lines, max_n, n_slot
+
+    @staticmethod
+    def _drain(entry, stage_timer):
+        ids_, geoms_, labels_dev, lengths_dev = entry
+        if labels_dev is None:
+            labels = lengths = None
+        else:
+            with stage_timer("pipeline/labels_sync"):
+                labels = np.asarray(labels_dev)
+                lengths = np.asarray(lengths_dev)
+        for slot, (i, (b_list, h_list, widths)) in enumerate(
+            zip(ids_, geoms_)
+        ):
+            if widths is None or labels is None:
+                yield PageResult(i, b_list, h_list, None, None, None)
+            else:
+                yield PageResult(
+                    i, b_list, h_list, labels[slot], lengths[slot], widths
+                )
+
+    def _run_page(self, pages, lines_override, page_batch):
+        """Page transport: whole pages upload once, crops warp on device."""
         from concurrent.futures import ThreadPoolExecutor
 
         from pero_ocr_tpu.utils.timing import stage_timer
 
+        n = len(pages)
         batches = [
             list(range(s, min(s + page_batch, n)))
             for s in range(0, n, page_batch)
@@ -373,6 +679,12 @@ class TPUPagePipeline:
         # and post-processes the current batch.
         uploader = ThreadPoolExecutor(max_workers=1)
         pending = uploader.submit(dispatch_a, 0)
+
+        # Stage-B fetches trail one batch behind their dispatch: batch
+        # i-1's labels download while batch i dispatches and batch i+1's
+        # stage A is in flight.
+        inflight = None  # (ids, geoms, labels_dev, lengths_dev)
+
         for batch_idx, ids in enumerate(batches):
             with stage_timer("pipeline/upload+dispatch_a"):
                 pending.result()
@@ -383,83 +695,196 @@ class TPUPagePipeline:
                 packed, heights_q = jax.tree_util.tree_map(
                     np.asarray, stage_a_out[batch_idx]
                 )
-            # Unpack 4x 2-bit pixels per byte; upsample heights 2x back.
-            two_bit = np.stack(
-                [(packed >> (2 * i)) & 3 for i in range(4)], axis=-1
-            ).reshape(packed.shape[0], packed.shape[1], packed.shape[2] * 4)
-            baselines_masks = two_bit & 1
-            connecteds = (two_bit >> 1) & 1
-            heights_maps = (
-                heights_q.astype(np.float32) / 4.0
-            ).repeat(2, axis=1).repeat(2, axis=2)
-
             with stage_timer("pipeline/host_geometry"):
-                page_lines = []
-                for slot, i in enumerate(ids):
-                    if lines_override is not None:
-                        b_list, h_list = lines_override(pages[i])
-                    else:
-                        b_list, h_list = self._lines_from_masks(
-                            baselines_masks[slot], connecteds[slot],
-                            heights_maps[slot],
-                        )
-                    if self.max_lines is not None:
-                        b_list = b_list[: self.max_lines]
-                        h_list = h_list[: self.max_lines]
-                    page_lines.append((b_list, h_list))
-                # Pad the line axis to the densest page in the batch,
-                # rounded up to a line_slot multiple (bounds distinct
-                # stage-B compile shapes; no line is ever dropped).
-                max_n = max(len(b) for b, _ in page_lines)
-                n_slot = max(
-                    self.line_slot,
-                    int(np.ceil(max_n / self.line_slot)) * self.line_slot,
+                page_lines, max_n, n_slot = self._batch_lines(
+                    pages, ids, lines_override,
+                    self._unpack_stage_a(packed, heights_q),
                 )
-                page_geoms = [
-                    (b_list, h_list)
-                    + self._geometry(b_list, h_list, n_slot)
-                    for b_list, h_list in page_lines
+
+            labels_dev = lengths_dev = None
+            if max_n == 0:
+                geoms = [(b, h, None) for b, h in page_lines]
+            else:
+                geom3 = [
+                    self._geometry(b, h, n_slot) for b, h in page_lines
+                ]
+                with stage_timer("pipeline/stage_b"):
+                    zeros_b = np.zeros(
+                        (n_slot, self.BASELINE_POINTS, 2), np.float32
+                    )
+                    ones_h = np.ones((n_slot, 2), np.float32)
+                    bl = np.stack(
+                        [g[0] if g[0] is not None else zeros_b for g in geom3]
+                        + [zeros_b] * (page_batch - len(ids))
+                    )
+                    hh = np.stack(
+                        [g[1] if g[1] is not None else ones_h for g in geom3]
+                        + [ones_h] * (page_batch - len(ids))
+                    )
+                    # Strong tilt or oversize spans would distort through
+                    # the structured warp's roll budget; such batches take
+                    # the exact gather-warp program instead.
+                    from pero_ocr_tpu.ops.warp_structured import (
+                        structured_warp_supported,
+                    )
+
+                    flat = bl.reshape(-1, self.BASELINE_POINTS, 2)
+                    structured_ok = bool(
+                        structured_warp_supported(
+                            hh.reshape(-1, 2), self.crop_height, flat
+                        ).all()
+                    )
+                    labels_dev, lengths_dev = self._stage_b(
+                        device_pages[batch_idx],
+                        jnp.asarray(bl), jnp.asarray(hh),
+                        structured_ok=structured_ok,
+                    )
+                geoms = [
+                    (b, h, g[2])
+                    for (b, h), g in zip(page_lines, geom3)
                 ]
 
-            any_lines = any(g[2] is not None for g in page_geoms)
-            if not any_lines:
-                for i, g in zip(ids, page_geoms):
-                    yield PageResult(i, g[0], g[1], None, None, None)
-                device_pages.pop(batch_idx, None)
-                stage_a_out.pop(batch_idx, None)
-                continue
-
-            with stage_timer("pipeline/stage_b"):
-                zeros_b = np.zeros(
-                    (n_slot, self.BASELINE_POINTS, 2), np.float32
-                )
-                ones_h = np.ones((n_slot, 2), np.float32)
-                bl = np.stack(
-                    [
-                        g[2] if g[2] is not None else zeros_b
-                        for g in page_geoms
-                    ]
-                    + [zeros_b] * (page_batch - len(ids))
-                )
-                hh = np.stack(
-                    [
-                        g[3] if g[3] is not None else ones_h
-                        for g in page_geoms
-                    ]
-                    + [ones_h] * (page_batch - len(ids))
-                )
-                labels, lengths = self._stage_b(
-                    device_pages[batch_idx], jnp.asarray(bl), jnp.asarray(hh)
-                )
-                labels = np.asarray(labels)
-                lengths = np.asarray(lengths)
-
-            for slot, (i, g) in enumerate(zip(ids, page_geoms)):
-                if g[2] is None:
-                    yield PageResult(i, g[0], g[1], None, None, None)
-                else:
-                    yield PageResult(
-                        i, g[0], g[1], labels[slot], lengths[slot], g[4]
-                    )
             device_pages.pop(batch_idx, None)
             stage_a_out.pop(batch_idx, None)
+
+            if inflight is not None:
+                yield from self._drain(inflight, stage_timer)
+            inflight = (ids, geoms, labels_dev, lengths_dev)
+
+        if inflight is not None:
+            yield from self._drain(inflight, stage_timer)
+
+    def _run_crops(self, pages, lines_override, page_batch):
+        """Crop transport: ONE combined program per batch (stage A of
+        batch i + recognition of batch i-1's host-warped crops), so the
+        high-RTT link sees a single repeated program and one forced sync
+        per batch.  A final flush dispatch (zero small pages) recognizes
+        the last batch's crops."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pero_ocr_tpu.utils.timing import stage_timer
+
+        n = len(pages)
+        batches = [
+            list(range(s, min(s + page_batch, n)))
+            for s in range(0, n, page_batch)
+        ]
+        n_batches = len(batches)
+
+        def prep(batch_idx):
+            """Host image work for one batch (worker thread): grayscale
+            + 1/ds canvas + optional nibble packing."""
+            ids = batches[batch_idx]
+            padded = ids + [ids[-1]] * (page_batch - len(ids))
+            grays = np.stack([self._gray(pages[i]) for i in padded])
+            small = np.stack([self._canvas(g) for g in grays])
+            if self.transport_bits in (2, 4):
+                small = self._pack4(small)
+            return grays, small
+
+        uploader = ThreadPoolExecutor(max_workers=1)
+        prep_f = uploader.submit(prep, 0)
+
+        small_shape = None
+        prev = None          # (ids, geoms) awaiting labels
+        prev_crops = None    # packed host-warped crops of the prev batch
+        prev_n_slot = self.line_slot
+
+        for bi in range(n_batches + 1):
+            if bi < n_batches:
+                with stage_timer("pipeline/prep"):
+                    grays, small = prep_f.result()
+                if bi + 1 < n_batches:
+                    prep_f = uploader.submit(prep, bi + 1)
+                small_dev = jnp.asarray(small)
+                small_shape = small.shape
+            else:
+                # Flush dispatch: recognize the final batch's crops; the
+                # zero small pages' masks are discarded.
+                small_dev = jnp.zeros(small_shape, jnp.uint8)
+
+            if prev_crops is None:
+                wb = self.crop_bucket // {8: 1, 4: 2, 2: 4}[self.transport_bits]
+                crops_dev = jnp.zeros(
+                    (page_batch * prev_n_slot, self.crop_height, wb),
+                    jnp.uint8,
+                )
+            else:
+                crops_dev = jnp.asarray(prev_crops)
+
+            with stage_timer("pipeline/combined_dispatch"):
+                packed_m, heights_q, labels_dev, lengths_dev = (
+                    self._combined_crops(small_dev, crops_dev, page_batch)
+                )
+
+            # ONE forced-fetch round per dispatch: batch bi's masks and
+            # batch bi-1's labels arrive together (a second fetch would
+            # pay the link RTT again).
+            need_labels = prev is not None and prev[2]
+            with stage_timer("pipeline/sync"):
+                fetch = [packed_m, heights_q] if bi < n_batches else []
+                if need_labels:
+                    fetch += [labels_dev, lengths_dev]
+                fetched = [np.asarray(x) for x in fetch]
+            if need_labels:
+                labels_np, lengths_np = fetched[-2], fetched[-1]
+            else:
+                labels_np = lengths_np = None
+
+            if bi < n_batches:
+                ids = batches[bi]
+                masks = self._unpack_stage_a(fetched[0], fetched[1])
+                with stage_timer("pipeline/host_geometry"):
+                    page_lines, max_n, n_slot = self._batch_lines(
+                        pages, ids, lines_override, masks
+                    )
+                with stage_timer("pipeline/host_warp"):
+                    crop_stack = np.zeros(
+                        (page_batch, n_slot, self.crop_height,
+                         self.crop_bucket),
+                        np.uint8,
+                    )
+                    widths_all = []
+                    for slot, (b_list, h_list) in enumerate(page_lines):
+                        if b_list:
+                            crop_stack[slot], w = self._host_crops(
+                                grays[slot], b_list, h_list, n_slot
+                            )
+                            widths_all.append(w[: len(b_list)])
+                        else:
+                            widths_all.append(None)
+                geoms = [
+                    (b, h, w)
+                    for (b, h), w in zip(page_lines, widths_all)
+                ]
+                if max_n == 0:
+                    next_crops = None
+                    next_has_labels = False
+                else:
+                    flat = crop_stack.reshape(
+                        page_batch * n_slot, self.crop_height,
+                        self.crop_bucket,
+                    )
+                    if self.transport_bits in (2, 4):
+                        with stage_timer("pipeline/pack_crops"):
+                            flat = (
+                                self._pack4(flat)
+                                if self.transport_bits == 4
+                                else self._pack2(flat)
+                            )
+                    next_crops = flat
+                    next_has_labels = True
+
+            if prev is not None:
+                prev_ids, prev_geoms, _ = prev
+                yield from self._drain(
+                    (prev_ids, prev_geoms, labels_np, lengths_np),
+                    stage_timer,
+                )
+
+            if bi < n_batches:
+                prev = (ids, geoms, next_has_labels)
+                prev_crops = next_crops
+                prev_n_slot = n_slot if next_crops is not None else (
+                    self.line_slot
+                )

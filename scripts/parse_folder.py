@@ -56,6 +56,11 @@ def parse_arguments():
     parser.add_argument("--skipp-missing-xml", action="store_true",
                         help="Skip images which have missing xml.")
     parser.add_argument("--device", choices=["tpu", "cpu"], default="tpu")
+    parser.add_argument("--profile", metavar="DIR",
+                        help="Capture a jax.profiler device trace of the "
+                             "processing loop into DIR (open with "
+                             "tensorboard/xprof; per-op TPU attribution "
+                             "beyond the wall-clock --timing-report).")
     parser.add_argument("--timing-report", action="store_true",
                         help="Print per-stage timing table at the end.")
     parser.add_argument("--fast-pipeline", action="store_true",
@@ -67,6 +72,12 @@ def parse_arguments():
                              "pixels per byte (half the link bytes, "
                              "transcription-neutral), 8 sends raw "
                              "grayscale.")
+    parser.add_argument("--transport", choices=["page", "crops"],
+                        default="page",
+                        help="Fast-pipeline transport: 'page' ships whole "
+                             "pages and warps crops on device; 'crops' "
+                             "ships 1/4-res pages + host-warped crops "
+                             "(~3x fewer link bytes for slow host links).")
     parser.add_argument("--process-count", type=int, default=1,
                         help="Parallel page processes (line-cropping-only "
                              "configs; neural stages run in-process).")
@@ -391,8 +402,12 @@ def main():
         output_xml_path, output_line_path,
     )
 
+    from pero_ocr_tpu.utils.timing import jax_profile
+
     t_start = time.time()
     results = []
+    profile_ctx = jax_profile(args.profile)
+    profile_ctx.__enter__()
     if args.fast_pipeline:
         if output_logit_path or output_line_path or output_alto_path:
             logging.error(
@@ -403,7 +418,8 @@ def main():
         from pero_ocr_tpu.document.fast_pipeline import FastPagePipeline
 
         fast = FastPagePipeline(
-            page_parser, transport_bits=args.transport_bits
+            page_parser, transport_bits=args.transport_bits,
+            transport=args.transport
         )
         images = [
             cv2.imread(os.path.join(input_image_path, f), 1)
@@ -456,6 +472,10 @@ def main():
                     image=image,
                 )
             )
+
+    profile_ctx.__exit__(None, None, None)
+    if args.profile:
+        logger.info("jax.profiler trace written to %s", args.profile)
 
     if args.output_transcriptions_file_path is not None:
         with open(args.output_transcriptions_file_path, "w", encoding="utf-8") as f:

