@@ -86,16 +86,29 @@ def init_train_state(
 
 
 def shard_train_state(state: TrainState, mesh: Mesh) -> TrainState:
-    """Place params (and mirrored opt state) according to the tp rules."""
+    """Place params AND optimizer moments according to the tp rules.
+
+    Adam's mu/nu subtrees mirror the param pytree exactly, so any
+    opt-state subtree whose treedef equals the param treedef takes the
+    param shardings leaf-for-leaf; scalar bookkeeping (clip state,
+    Adam's count) replicates.  Without this, moments replicate and eat
+    2x the sharded-param memory back at scale."""
     param_shardings = mesh_lib.param_sharding_rules(state.params, mesh)
     params = jax.device_put(state.params, param_shardings)
 
-    def put_like_param(leaf):
-        # Optimizer moments mirror param shapes; shard them identically
-        # when shapes match a param leaf, else replicate.
-        return leaf
+    param_treedef = jax.tree_util.tree_structure(state.params)
 
-    opt_state = jax.device_put(state.opt_state, mesh_lib.replicated(mesh))
+    def is_param_like(node) -> bool:
+        return jax.tree_util.tree_structure(node) == param_treedef
+
+    def place(node):
+        if is_param_like(node):
+            return jax.device_put(node, param_shardings)
+        return jax.device_put(node, mesh_lib.replicated(mesh))
+
+    opt_state = jax.tree_util.tree_map(
+        place, state.opt_state, is_leaf=is_param_like
+    )
     step = jax.device_put(state.step, mesh_lib.replicated(mesh))
     return TrainState(params, opt_state, step)
 
