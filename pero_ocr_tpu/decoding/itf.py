@@ -117,20 +117,17 @@ def decoder_factory(
         max_len = config.getint("MAX_LEN", fallback=256)
         wrapper = lm_factory(config, full_characters[:-1], config_path=config_path)
         lm = None
+        vocab_map = None
         if wrapper is not None:
-            identity = np.array_equal(
-                wrapper._map, np.arange(len(full_characters) - 1)
-            )
-            if not identity:
-                raise ValueError(
-                    "TPU-BEAM requires an LM whose vocabulary matches the "
-                    "decoder charset order (no vocab remapping in-graph "
-                    "yet); use TYPE=FAST-LOG-RAW for remapped LMs."
-                )
             lm = (wrapper._model, wrapper._variables)
+            # Converted brnolm LMs may order their vocabulary differently;
+            # the decoder applies the permutation in-graph
+            # (reference contract: pero_ocr/decoding/lm_wrapper.py:66-68).
+            vocab_map = wrapper._map
         return TPUBeamSearchDecoder(
             full_characters, k=k, lm=lm, lm_scale=lm_scale,
             insertion_bonus=insertion_bonus, max_len=max_len,
+            vocab_map=vocab_map,
         )
     if decoder_type == "GREEDY":
         return GreedyDecoder(full_characters)

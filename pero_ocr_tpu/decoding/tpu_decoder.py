@@ -74,10 +74,20 @@ class TPUBeamSearchDecoder:
         letters: charset INCLUDING the trailing blank.
         k: beam width.
         lm: optional (CharLM model, variables) tuple; the LM vocabulary
-            must cover the non-blank letters in order (+ trailing EOS).
+            must cover the non-blank letters (+ trailing EOS), in order
+            unless ``vocab_map`` says otherwise.
+        vocab_map: optional (V,) int array mapping decoder char id ->
+            LM token id, for LMs trained on a different vocabulary
+            ordering (the reference LMWrapper's translation contract,
+            pero_ocr/decoding/lm_wrapper.py:66-68).  Applied IN-GRAPH:
+            LM inputs translate through the table and LM outputs gather
+            back into decoder order — one tiny (V,) gather per step.
         lm_scale, insertion_bonus: fusion parameters
             (reference: decoders.py:176-180).
-        max_len: prefix capacity (longer outputs are truncated).
+        max_len: accepted for config compatibility but UNUSED — prefixes
+            are reconstructed from per-frame backpointers, so hypothesis
+            length is bounded only by the frame count (like the host
+            decoder).
     """
 
     def __init__(
@@ -88,6 +98,7 @@ class TPUBeamSearchDecoder:
         lm_scale: float = 1.0,
         insertion_bonus: float = 0.0,
         max_len: int = 256,
+        vocab_map: Optional[np.ndarray] = None,
     ):
         self.letters = list(letters)
         self.k = k
@@ -102,30 +113,61 @@ class TPUBeamSearchDecoder:
         else:
             self._lm_model = self._lm_variables = None
 
+        if vocab_map is not None and np.array_equal(
+            np.asarray(vocab_map), np.arange(self.vocab)
+        ):
+            vocab_map = None  # identity: keep the gather-free slice path
+        self._lm_map = (
+            None if vocab_map is None
+            else jnp.asarray(np.asarray(vocab_map, np.int32))
+        )
+
         self._decode_jit = jax.jit(self._decode_impl, static_argnums=(2,))
 
     # ------------------------------------------------------------------
-    def _lm_initial(self, b: int):
+    def _dec_preds(self, preds_full: jnp.ndarray) -> jnp.ndarray:
+        """(..., V_lm) LM log-probs -> (..., V_decoder) in decoder char
+        order (identity slice, or the vocab_map gather)."""
+        if self._lm_map is None:
+            return preds_full[..., : self.vocab]
+        return preds_full[..., self._lm_map]
+
+    def _lm_tokens(self, chars: jnp.ndarray) -> jnp.ndarray:
+        """Decoder char ids -> LM token ids."""
+        if self._lm_map is None:
+            return chars
+        return self._lm_map[chars]
+
+    def _lm_initial(self, b: int, init_states=None):
+        """Per-beam LM state at t=0: fresh post-``</s>`` context, or the
+        given per-line states (B, ...) broadcast over the beam
+        (CARRY_H_OVER; reference: pero_ocr/decoding/decoders.py:229-232,
+        lm_wrapper.py:109-124)."""
         if self._lm_model is None:
             return None, jnp.zeros((b, self.k, self.vocab), jnp.float32)
         model, variables = self._lm_model, self._lm_variables
         from pero_ocr_tpu.models.charlm import CharLM
 
-        flat = b * self.k
-        state = model.apply(variables, flat, method=CharLM.initial_state)
-        # Consume </s> to get the line-start context
-        # (reference: lm_wrapper.py:109-114).
-        eos = jnp.full((flat,), model.spec.eos_id, jnp.int32)
-        state = model.apply(variables, eos, state, method=CharLM.advance)
+        if init_states is None:
+            flat = b * self.k
+            state = model.apply(variables, flat, method=CharLM.initial_state)
+            # Consume </s> to get the line-start context
+            # (reference: lm_wrapper.py:109-114).
+            eos = jnp.full((flat,), model.spec.eos_id, jnp.int32)
+            state = model.apply(variables, eos, state, method=CharLM.advance)
+        else:
+            state = jax.tree_util.tree_map(
+                lambda x: jnp.repeat(x, self.k, axis=0), init_states
+            )
         preds = model.apply(variables, state, method=CharLM.log_probs)
         state = jax.tree_util.tree_map(
             lambda x: x.reshape((b, self.k) + x.shape[1:]), state
         )
-        preds = preds.reshape(b, self.k, -1)[:, :, : self.vocab]
+        preds = self._dec_preds(preds).reshape(b, self.k, self.vocab)
         return state, preds
 
     def _lm_advance(self, chars_flat, state):
-        """chars_flat: (B*K,) char ids; state leaves (B, K, ...)."""
+        """chars_flat: (B*K,) DECODER char ids; state leaves (B, K, ...)."""
         model, variables = self._lm_model, self._lm_variables
         from pero_ocr_tpu.models.charlm import CharLM
 
@@ -134,13 +176,14 @@ class TPUBeamSearchDecoder:
             lambda x: x.reshape((b * k,) + x.shape[2:]), state
         )
         new_state = model.apply(
-            variables, chars_flat, flat_state, method=CharLM.advance
+            variables, self._lm_tokens(chars_flat), flat_state,
+            method=CharLM.advance,
         )
         preds = model.apply(variables, new_state, method=CharLM.log_probs)
         new_state = jax.tree_util.tree_map(
             lambda x: x.reshape((b, k) + x.shape[1:]), new_state
         )
-        return new_state, preds.reshape(b, k, -1)[:, :, : self.vocab]
+        return new_state, self._dec_preds(preds).reshape(b, k, self.vocab)
 
     def _lm_eos_scores(self, state):
         model, variables = self._lm_model, self._lm_variables
@@ -154,9 +197,9 @@ class TPUBeamSearchDecoder:
         return lp.reshape(b, k, -1)[:, :, model.spec.eos_id]
 
     # ------------------------------------------------------------------
-    def _init_beam(self, b: int) -> _BeamArrays:
-        k, lmax = self.k, self.max_len
-        lm_state, lm_preds = self._lm_initial(b)
+    def _init_beam(self, b: int, init_lm_states=None) -> _BeamArrays:
+        k = self.k
+        lm_state, lm_preds = self._lm_initial(b, init_lm_states)
         return _BeamArrays(
             lengths=jnp.zeros((b, k), jnp.int32),
             hash=jnp.zeros((b, k), jnp.uint32),
@@ -340,9 +383,12 @@ class TPUBeamSearchDecoder:
         return merged, (bp_rows, bp_cols)
 
     # ------------------------------------------------------------------
-    def _decode_impl(self, logprobs, frame_lengths, model_eos: bool = False):
+    def _decode_impl(
+        self, logprobs, frame_lengths, model_eos: bool = False,
+        init_lm_states=None,
+    ):
         b, t, c = logprobs.shape
-        beam = self._init_beam(b)
+        beam = self._init_beam(b, init_lm_states)
 
         def body(carry, inputs):
             frame, t_idx = inputs
@@ -358,7 +404,23 @@ class TPUBeamSearchDecoder:
         p_lm = beam.p_lm
         if model_eos and self._lm_model is not None:
             p_lm = p_lm + self._lm_eos_scores(beam.lm_state)
-        return backpointers, beam.lengths, p_total, p_lm
+
+        # Final LM state of the BEST hypothesis per line (the host
+        # return_h contract, decoders.py:328-332) — a tiny in-graph
+        # gather; only fetched when the caller asks for carry-over.
+        if self._lm_model is not None:
+            best = jnp.argmax(
+                p_total + self.lm_scale * p_lm, axis=1
+            )  # (B,)
+            best_states = jax.tree_util.tree_map(
+                lambda x: jnp.take_along_axis(
+                    x, best.reshape((b, 1) + (1,) * (x.ndim - 2)), axis=1
+                )[:, 0],
+                beam.lm_state,
+            )
+        else:
+            best_states = None
+        return backpointers, beam.lengths, p_total, p_lm, best_states
 
     # ------------------------------------------------------------------
     def decode_batch(
@@ -366,15 +428,26 @@ class TPUBeamSearchDecoder:
         logprobs: np.ndarray,
         frame_lengths: Optional[np.ndarray] = None,
         model_eos: bool = False,
-    ) -> List[BagOfHypotheses]:
-        """(B, T, C) normalized log-probs -> one BagOfHypotheses per line."""
+        init_lm_states=None,
+        return_lm_states: bool = False,
+    ):
+        """(B, T, C) normalized log-probs -> one BagOfHypotheses per line.
+
+        ``init_lm_states``: optional LM-state pytree with (B, ...) leaves
+        seeding each line's beam (CARRY_H_OVER chaining; see
+        :meth:`line_start_states` / :meth:`add_line_end`).
+        ``return_lm_states``: additionally return the final best-hyp LM
+        states as a (B, ...)-leaf pytree."""
         b, t, _ = logprobs.shape
         if frame_lengths is None:
             frame_lengths = np.full(b, t, np.int32)
-        (bp_rows, bp_cols), lengths, p_total, p_lm = self._decode_jit(
-            jnp.asarray(logprobs, jnp.float32),
-            jnp.asarray(frame_lengths, jnp.int32),
-            model_eos,
+        (bp_rows, bp_cols), lengths, p_total, p_lm, best_states = (
+            self._decode_jit(
+                jnp.asarray(logprobs, jnp.float32),
+                jnp.asarray(frame_lengths, jnp.int32),
+                model_eos,
+                init_lm_states,
+            )
         )
         bp_rows = np.asarray(bp_rows)   # (T, B, K)
         bp_cols = np.asarray(bp_cols)
@@ -413,4 +486,52 @@ class TPUBeamSearchDecoder:
                 )
             bag.sort()
             bags.append(bag)
+        if return_lm_states:
+            return bags, best_states
         return bags
+
+    # ------------------------------------------------------------------
+    # CARRY_H_OVER state helpers (the host LMWrapper contract,
+    # reference: pero_ocr/decoding/lm_wrapper.py:109-124, driven by
+    # PageDecoder across consecutive lines, page_parser.py:129-135).
+    # States are CharLM pytrees with (B, ...) leaves, kept on device.
+    @property
+    def supports_carry(self) -> bool:
+        return self._lm_model is not None
+
+    def line_start_states(self, b: int = 1):
+        """Fresh per-line LM states: zero state after consuming ``</s>``."""
+        from pero_ocr_tpu.models.charlm import CharLM
+
+        model, variables = self._lm_model, self._lm_variables
+        state = model.apply(variables, b, method=CharLM.initial_state)
+        eos = jnp.full((b,), model.spec.eos_id, jnp.int32)
+        return model.apply(variables, eos, state, method=CharLM.advance)
+
+    def add_line_end(self, states):
+        """Advance states by ``</s>`` (between-lines boundary)."""
+        from pero_ocr_tpu.models.charlm import CharLM
+
+        model, variables = self._lm_model, self._lm_variables
+        b = jax.tree_util.tree_leaves(states)[0].shape[0]
+        eos = jnp.full((b,), model.spec.eos_id, jnp.int32)
+        return model.apply(variables, eos, states, method=CharLM.advance)
+
+    def states_from_line(self, text: str):
+        """Seed a (1, ...) state with a previous line's text + ``</s>``
+        (used after a confident line skipped decoding; reference:
+        lm_wrapper.py:116-124)."""
+        from pero_ocr_tpu.models.charlm import CharLM
+
+        model, variables = self._lm_model, self._lm_variables
+        char_index = {c: i for i, c in enumerate(self.letters[:-1])}
+        state = self.line_start_states(1)
+        for ch in text:
+            dec_id = char_index.get(ch)
+            if dec_id is None:
+                continue
+            tok = self._lm_tokens(jnp.asarray([dec_id], jnp.int32))
+            state = model.apply(
+                variables, tok, state, method=CharLM.advance
+            )
+        return self.add_line_end(state)

@@ -94,6 +94,26 @@ class TestVisualOnlyParity:
             assert p == pytest.approx(brute[transcript], rel=1e-3), transcript
 
 
+class TestNoLengthCap:
+    def test_long_line_not_truncated(self):
+        """Hypotheses longer than the old max_len=256 prefix buffer must
+        come back complete (VERDICT r1 weak #8): backpointer
+        reconstruction has no length cap."""
+        t = 600
+        logits = np.full((t, 4), -20.0, np.float32)
+        # Alternate a/b with certainty -> the best hyp has t chars.
+        for i in range(t):
+            logits[i, i % 2] = 0.0
+        norm = np.logaddexp.reduce(logits, axis=1, keepdims=True)
+        logits = logits - norm
+
+        tpu = TPUBeamSearchDecoder(LETTERS, k=2, max_len=256)
+        bag = tpu.decode_batch(logits[None])[0]
+        best = bag.best_hyp()
+        assert len(best) == t
+        assert best == "ab" * (t // 2)
+
+
 class TestLMFusionParity:
     @pytest.fixture(scope="class")
     def charlm(self):
@@ -137,6 +157,45 @@ class TestLMFusionParity:
                     host_lm_scores[h.transcript], abs=1e-3
                 ), h.transcript
 
+    def test_remapped_lm_matches_host(self, charlm):
+        """An LM trained on a PERMUTED vocabulary (real brnolm conversions
+        order chars differently) must fuse identically through the
+        in-graph vocab_map gather and through the host wrapper's
+        translation (VERDICT r1 missing #2; reference contract:
+        pero_ocr/decoding/lm_wrapper.py:66-68)."""
+        from pero_ocr_tpu.decoding.lm_wrapper import JAXLMWrapper
+
+        model, variables = charlm
+        rng = np.random.default_rng(6)
+        logits = lp(rng, 10, len(LETTERS))
+
+        # LM vocab order: [c, a, b, </s>] relative to decoder [a, b, c].
+        vocab_map_dict = {"a": 1, "b": 2, "c": 0}
+        vocab_map_arr = np.array([1, 2, 0], np.int32)
+
+        host_lm = JAXLMWrapper(
+            model, variables, LETTERS[:-1], vocab_map=vocab_map_dict
+        )
+        host = CTCPrefixLogRawNumpyDecoder(
+            LETTERS, k=4, lm=host_lm, lm_scale=0.7, insertion_bonus=0.2,
+            relevant_logits_selector=no_prune,
+        )
+        host_bag = host(logits.astype(np.float64))
+
+        tpu = TPUBeamSearchDecoder(
+            LETTERS, k=4, lm=(model, variables), lm_scale=0.7,
+            insertion_bonus=0.2, max_len=16, vocab_map=vocab_map_arr,
+        )
+        tpu_bag = tpu.decode_batch(logits[None])[0]
+
+        assert tpu_bag.best_hyp() == host_bag.best_hyp()
+        host_scores = {h.transcript: h.lm_sc for h in host_bag}
+        for h in tpu_bag:
+            if h.transcript in host_scores:
+                assert h.lm_sc == pytest.approx(
+                    host_scores[h.transcript], abs=1e-3
+                ), h.transcript
+
     def test_eos_scoring(self, charlm):
         model, variables = charlm
         rng = np.random.default_rng(4)
@@ -150,3 +209,159 @@ class TestLMFusionParity:
         with_eos = {h.transcript: h.lm_sc for h in bag_eos}
         for text in set(plain) & set(with_eos):
             assert with_eos[text] < plain[text]  # eos log-prob < 0
+
+
+class TestCarryHOver:
+    """CARRY_H_OVER chaining: the TPU decoder must reproduce the host
+    decoder's cross-line LM state carry (VERDICT r1 missing #1;
+    reference: pero_ocr/decoding/decoders.py:220-299 driven by
+    page_parser.py:129-135)."""
+
+    @pytest.fixture(scope="class")
+    def charlm(self):
+        from pero_ocr_tpu.models.charlm import CharLM, CharLMSpec
+
+        spec = CharLMSpec(
+            vocab_size=len(LETTERS), embed_dim=4, hidden_dim=8, num_layers=1
+        )
+        model = CharLM(spec)
+        variables = model.init(
+            jax.random.PRNGKey(7), jnp.zeros((1, 1), jnp.int32)
+        )
+        return model, variables
+
+    def test_chained_lines_match_host(self, charlm):
+        from pero_ocr_tpu.decoding.lm_wrapper import JAXLMWrapper
+
+        model, variables = charlm
+        rng = np.random.default_rng(8)
+        lines = [lp(rng, 8, len(LETTERS)) for _ in range(3)]
+
+        host_lm = JAXLMWrapper(model, variables, LETTERS[:-1])
+        host = CTCPrefixLogRawNumpyDecoder(
+            LETTERS, k=4, lm=host_lm, lm_scale=0.8, insertion_bonus=0.3,
+            relevant_logits_selector=no_prune,
+        )
+        host_texts = []
+        h = None
+        for logits in lines:
+            bag, last_h = host(
+                logits.astype(np.float64), return_h=True, init_h=h
+            )
+            host_texts.append(bag.best_hyp())
+            h = host_lm.add_line_end(last_h)
+
+        tpu = TPUBeamSearchDecoder(
+            LETTERS, k=4, lm=(model, variables), lm_scale=0.8,
+            insertion_bonus=0.3, max_len=16,
+        )
+        tpu_texts = []
+        state = None
+        for logits in lines:
+            bags, final = tpu.decode_batch(
+                logits[None], init_lm_states=state, return_lm_states=True
+            )
+            tpu_texts.append(bags[0].best_hyp())
+            state = tpu.add_line_end(final)
+
+        assert tpu_texts == host_texts
+
+    def test_carry_changes_the_decode(self, charlm):
+        """Seeded initial states must actually influence scores (guards
+        against silently ignoring init_lm_states)."""
+        model, variables = charlm
+        rng = np.random.default_rng(9)
+        logits = lp(rng, 8, len(LETTERS))
+        tpu = TPUBeamSearchDecoder(
+            LETTERS, k=4, lm=(model, variables), lm_scale=0.8, max_len=16
+        )
+        fresh = tpu.decode_batch(logits[None])[0]
+        seeded_state = tpu.states_from_line("abcabc")
+        seeded = tpu.decode_batch(
+            logits[None], init_lm_states=seeded_state
+        )[0]
+        fresh_scores = {h.transcript: h.lm_sc for h in fresh}
+        seeded_scores = {h.transcript: h.lm_sc for h in seeded}
+        shared = [t for t in fresh_scores if t in seeded_scores and t]
+        assert shared
+        assert any(
+            abs(fresh_scores[t] - seeded_scores[t]) > 1e-6 for t in shared
+        )
+
+    def test_states_from_line_matches_wrapper(self, charlm):
+        from pero_ocr_tpu.decoding.lm_wrapper import JAXLMWrapper
+
+        model, variables = charlm
+        host_lm = JAXLMWrapper(model, variables, LETTERS[:-1])
+        h_host = host_lm.initial_h_from_line("abc")
+        tpu = TPUBeamSearchDecoder(
+            LETTERS, k=2, lm=(model, variables), max_len=8
+        )
+        h_tpu = tpu.states_from_line("abc")
+        for a, b in zip(
+            jax.tree_util.tree_leaves(h_host.tree),
+            jax.tree_util.tree_leaves(h_tpu),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-6
+            )
+
+    def test_page_decoder_carry_path(self, charlm):
+        """PageDecoder(CARRY_H_OVER) must route to the TPU carry path and
+        produce the host carry path's transcriptions line-for-line."""
+        from pero_ocr_tpu.core.layout import PageLayout, RegionLayout, TextLine
+        from pero_ocr_tpu.decoding.lm_wrapper import JAXLMWrapper
+        from pero_ocr_tpu.document.page_parser import PageDecoder
+        from scipy import sparse
+
+        model, variables = charlm
+        rng = np.random.default_rng(10)
+
+        def make_layout():
+            layout = PageLayout(id="p", page_size=(100, 100))
+            region = RegionLayout(
+                "r", np.array([[0, 0], [100, 0], [100, 100], [0, 100]])
+            )
+            for i in range(3):
+                line = TextLine(
+                    id=f"l{i}",
+                    baseline=np.array([[0, 10 + i * 20], [100, 10 + i * 20]]),
+                    heights=[10, 2],
+                    polygon=np.array(
+                        [[0, i * 20], [100, i * 20],
+                         [100, 20 + i * 20], [0, 20 + i * 20]]
+                    ),
+                )
+                layout_logits = lp(rng, 8, len(LETTERS))
+                line.logits = sparse.csc_matrix(
+                    np.asarray(layout_logits, np.float64)
+                )
+                line.characters = LETTERS
+                line.logit_coords = [0, 8]
+                region.lines.append(line)
+            layout.regions.append(region)
+            return layout
+
+        rng = np.random.default_rng(10)
+        layout_tpu = make_layout()
+        rng = np.random.default_rng(10)
+        layout_host = make_layout()
+
+        tpu = TPUBeamSearchDecoder(
+            LETTERS, k=4, lm=(model, variables), lm_scale=0.8, max_len=16
+        )
+        dec_tpu = PageDecoder(tpu, carry_h_over=True)
+        dec_tpu.process_page(layout_tpu)
+
+        host_lm = JAXLMWrapper(model, variables, LETTERS[:-1])
+        host = CTCPrefixLogRawNumpyDecoder(
+            LETTERS, k=4, lm=host_lm, lm_scale=0.8,
+            relevant_logits_selector=no_prune,
+        )
+        dec_host = PageDecoder(host, carry_h_over=True)
+        dec_host.process_page(layout_host)
+
+        got = [l.transcription for l in layout_tpu.lines_iterator()]
+        ref = [l.transcription for l in layout_host.lines_iterator()]
+        assert got == ref
+        assert dec_tpu.lines_decoded == 3
