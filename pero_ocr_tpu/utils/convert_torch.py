@@ -80,6 +80,136 @@ def convert_lstm_layer(
     return gates
 
 
+def convert_layernorm(state_dict: Dict, prefix: str) -> Dict[str, np.ndarray]:
+    return {
+        "scale": _np(state_dict[prefix + ".weight"]),
+        "bias": _np(state_dict[prefix + ".bias"]),
+    }
+
+
+def convert_mha(state_dict: Dict, prefix: str, num_heads: int) -> Dict:
+    """torch ``nn.MultiheadAttention`` (packed (3E, E) in_proj) -> flax
+    ``MultiHeadDotProductAttention`` params (per-head DenseGeneral
+    kernels (E, H, hd) and out kernel (H, hd, E))."""
+    w = _np(state_dict[prefix + ".in_proj_weight"])  # (3E, E)
+    b = _np(state_dict[prefix + ".in_proj_bias"])
+    e = w.shape[1]
+    hd = e // num_heads
+
+    def proj(wm, bm):
+        return {
+            "kernel": wm.T.reshape(e, num_heads, hd),
+            "bias": bm.reshape(num_heads, hd),
+        }
+
+    out_w = _np(state_dict[prefix + ".out_proj.weight"])  # (E, E)
+    out_b = _np(state_dict[prefix + ".out_proj.bias"])
+    return {
+        "query": proj(w[:e], b[:e]),
+        "key": proj(w[e : 2 * e], b[e : 2 * e]),
+        "value": proj(w[2 * e :], b[2 * e :]),
+        "out": {
+            "kernel": out_w.T.reshape(num_heads, hd, e),
+            "bias": out_b,
+        },
+    }
+
+
+def convert_batchnorm_affine(
+    state_dict: Dict, prefix: str, eps: float = 1e-5
+) -> Dict[str, np.ndarray]:
+    """Eval-mode BatchNorm2d -> (scale, shift) pair:
+    y = x * gamma/sqrt(var+eps) + (beta - mean*gamma/sqrt(var+eps))."""
+    gamma = _np(state_dict[prefix + ".weight"])
+    beta = _np(state_dict[prefix + ".bias"])
+    mean = _np(state_dict[prefix + ".running_mean"])
+    var = _np(state_dict[prefix + ".running_var"])
+    scale = gamma / np.sqrt(var + eps)
+    return {"scale": scale, "shift": beta - mean * scale}
+
+
+def _frontend_conv_keys(state_dict: Dict, prefix: str):
+    """Conv-weight keys under ``<prefix>.blocks_2d`` in traversal order
+    (top-level convs of the pretrained VGG slice, then nested convs of
+    the appended blocks), plus top-level BatchNorm indices."""
+    import re
+
+    convs, bns = [], []
+    pat = re.compile(
+        rf"^{re.escape(prefix)}\.blocks_2d\.(\d+)(?:\.(\d+))?\.weight$"
+    )
+    bn_pat = re.compile(
+        rf"^{re.escape(prefix)}\.blocks_2d\.(\d+)\.running_mean$"
+    )
+    for key in state_dict:
+        m = pat.match(key)
+        if m and _np(state_dict[key]).ndim == 4:
+            convs.append((int(m.group(1)), int(m.group(2) or 0), key))
+        m = bn_pat.match(key)
+        if m:
+            bns.append((int(m.group(1)), f"{prefix}.blocks_2d.{m.group(1)}"))
+    convs.sort()
+    bns.sort()
+    return [k for _, _, k in convs], [p for _, p in bns]
+
+
+def convert_torch_transformer(
+    state_dict: Dict,
+    heads: int,
+    encoder_layers: int,
+    decoder_layers: int,
+) -> Dict:
+    """Reference ``TransformerOCR`` torch state dict -> flax variables for
+    :class:`pero_ocr_tpu.models.transformer_ref.RefTransformerOCR`
+    (reference structure: pero_ocr/ocr_engine/transformer.py:334-363
+    frontend, :365-386 encoder, :388-470 decoder, :511-533 heads)."""
+    conv_keys, bn_prefixes = _frontend_conv_keys(
+        state_dict, "encoder_frontend"
+    )
+    frontend: Dict = {}
+    for i, key in enumerate(conv_keys):
+        frontend[f"conv{i}"] = convert_conv2d(
+            state_dict, key[: -len(".weight")]
+        )
+    for i, bn_prefix in enumerate(bn_prefixes):
+        affine = convert_batchnorm_affine(state_dict, bn_prefix)
+        frontend[f"affine{i}_scale"] = affine["scale"]
+        frontend[f"affine{i}_shift"] = affine["shift"]
+    frontend["agg"] = convert_conv2d(
+        state_dict, "encoder_frontend.aggregation_conv.0"
+    )
+
+    params: Dict = {
+        "encoder_frontend": frontend,
+        "input_norm": convert_layernorm(state_dict, "encoder.input_norm"),
+        "dec_embeder": convert_embedding(state_dict, "dec_embeder"),
+        "dec_out_proj": convert_linear(state_dict, "dec_out_proj"),
+    }
+    for i in range(encoder_layers):
+        p = f"encoder.trans_encoder.layers.{i}"
+        params[f"enc{i}"] = {
+            "self_attn": convert_mha(state_dict, p + ".self_attn", heads),
+            "linear1": convert_linear(state_dict, p + ".linear1"),
+            "linear2": convert_linear(state_dict, p + ".linear2"),
+            "norm1": convert_layernorm(state_dict, p + ".norm1"),
+            "norm2": convert_layernorm(state_dict, p + ".norm2"),
+        }
+    for i in range(decoder_layers):
+        p = f"trans_decoder.layers.{i}"
+        params[f"dec{i}"] = {
+            "self_attn": convert_mha(state_dict, p + ".self_attn", heads),
+            "multihead_attn": convert_mha(
+                state_dict, p + ".multihead_attn", heads
+            ),
+            "linear1": convert_linear(state_dict, p + ".linear1"),
+            "linear2": convert_linear(state_dict, p + ".linear2"),
+            "norm1": convert_layernorm(state_dict, p + ".norm1"),
+            "norm2": convert_layernorm(state_dict, p + ".norm2"),
+            "norm3": convert_layernorm(state_dict, p + ".norm3"),
+        }
+    return {"params": params}
+
+
 def convert_torch_lm(
     state_dict: Dict,
     embed_prefix: str = "embed",
