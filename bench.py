@@ -1,30 +1,34 @@
 #!/usr/bin/env python3
 """End-to-end page-throughput benchmark (runs on the real TPU chip).
 
-Workload per page (BASELINE.json config-2 shape: layout + bucketed line
-recognition + crop export on a full newspaper-like page):
+Four measured configurations (BASELINE.md protocol):
 
-1. ParseNet layout-map inference at 1/4 resolution (jitted U-Net fwd);
-2. fused XLA map post-processing;
-3. line geometry on host (classical detector supplies the line set so the
-   per-page line count is deterministic with random CNN weights);
-4. batched device line-crop warp into width buckets;
-5. bucketed CTC recognition + on-device greedy collapse.
+1. **pages** (config-2 shape, the headline number): layout stage +
+   bucketed line recognition on full newspaper-like pages, with a
+   classical-layout line override so the per-page workload is
+   deterministic under random CNN weights.
+2. **honest_cnn**: the same loop WITHOUT the line override — the host
+   connected-component parse + per-line geometry run inside the measured
+   loop on realistic masks (an ideal-detector mask substitutes for the
+   random-weight ParseNet output at the host boundary; the device stage
+   A still runs and is timed).
+3. **beam_lm** (config-3 shape): the on-TPU beam-search decoder with an
+   in-graph char-LM over stored logits; reports lines/s.
+4. **alto_alignment** (config-5 shape): ALTO export with forced
+   alignment + word geometry over stored logits; reports lines/s.
 
-Reports pages/sec end-to-end.  ``vs_baseline`` is the fraction of the
-BASELINE.md north-star target (50 newspaper pages/sec per chip); the
-reference publishes no figures of its own (BASELINE.md).
+Reports ONE JSON line; ``value`` is the config-2 pages/s and the other
+configurations ride along as extra keys.  ``vs_baseline`` is the
+fraction of the BASELINE.md north-star target (50 newspaper pages/s per
+chip); the reference publishes no figures of its own (BASELINE.md).
 
 Environment note: this harness reaches the chip through a tunnel moving
 ~25MB/s with ~26ms round trips, and its block_until_ready returns before
-execution completes (all timing here forces real fetches).  Pages
-therefore travel once, grayscale (4.7MB/page); device compute is
-~45ms/page (warp + recognizer + ParseNet), so measured throughput is
-link-weather dependent (observed 5-11 pages/s across runs; best
-recorded 10.6).  On a directly attached host the same pipeline is
-compute-bound at the ~45ms/page device cost.
+execution completes (all timing here forces real fetches).  Device
+compute is ~45ms/page, so measured throughput is link-weather dependent.
 """
 
+import argparse
 import json
 import os
 import sys
@@ -62,22 +66,59 @@ def make_page(rng, height=PAGE_H, width=PAGE_W):
     return img
 
 
-def main():
-    from pero_ocr_tpu.utils.jax_setup import configure
+def page_lines(page):
+    """Deterministic classical-layout line set (two columns)."""
+    baselines, heights = [], []
+    col_w = page.shape[1] // 2
+    for c in range(2):
+        x0, x1 = c * col_w + 50, (c + 1) * col_w - 70
+        for r in range(N_TEXT_ROWS // 2):
+            y = 80 + r * 56
+            baselines.append(np.array([[x0, y], [x1, y]], float))
+            heights.append([26.0, 8.0])
+    return baselines, heights
 
-    configure()
 
+def ideal_masks(downsample=4):
+    """Masks a perfect detector would produce for make_page's layout, at
+    1/downsample resolution — the honest_cnn mode substitutes these at
+    the host boundary so the CC parse + geometry do REAL work with
+    random CNN weights."""
+    h, w = PAGE_H // downsample, PAGE_W // downsample
+    baselines = np.zeros((h, w), np.uint8)
+    connected = np.zeros((h, w), np.uint8)
+    heights = np.zeros((h, w, 2), np.float32)
+    bl, hh = page_lines(np.zeros((PAGE_H, PAGE_W, 3), np.uint8))
+    for (p0, p1), (asc, desc) in zip(
+        [(b[0], b[1]) for b in bl], hh
+    ):
+        y = int(p0[1]) // downsample
+        x0, x1 = int(p0[0]) // downsample, int(p1[0]) // downsample
+        baselines[y, x0:x1] = 1
+        connected[max(y - 8, 0) : y + 3, x0:x1] = 1
+        heights[max(y - 8, 0) : y + 3, x0:x1] = (
+            asc / downsample, desc / downsample
+        )
+    return baselines, connected, heights
+
+
+def best_of(n_trials, fn):
+    best = None
+    for _ in range(n_trials):
+        t0 = time.perf_counter()
+        fn()
+        trial = time.perf_counter() - t0
+        best = trial if best is None else min(best, trial)
+    return best
+
+
+def build_pipeline(cls):
     import jax
     import jax.numpy as jnp
 
     from pero_ocr_tpu.models.parsenet import ParseNet
     from pero_ocr_tpu.models.recognizer import CTCRecognizer, RecognizerSpec
-    from pero_ocr_tpu.parallel.pipeline import TPUPagePipeline
 
-    rng = np.random.default_rng(0)
-    pages = [make_page(rng) for _ in range(3)]
-
-    # --- engines (random weights; compute cost is what we measure) -----
     parsenet = ParseNet()
     pn_params = parsenet.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
@@ -91,67 +132,177 @@ def main():
     rec_params = recognizer.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 32, 128, 3), jnp.float32)
     )
-
-    pipeline = TPUPagePipeline(
+    return cls(
         parsenet, pn_params, recognizer, rec_params,
         downsample=4, crop_bucket=1024, line_slot=N_TEXT_ROWS,
-        transport_bits=4,
+        transport="crops", transport_bits=4,
     )
 
-    # Deterministic line set per page: evenly spaced rows in two columns
-    # (classical-layout override keeps the workload size fixed with
-    # random CNN weights; stage A still runs and is timed).
-    def page_lines(page):
-        baselines, heights = [], []
-        col_w = page.shape[1] // 2
-        for c in range(2):
-            x0, x1 = c * col_w + 50, (c + 1) * col_w - 70
-            for r in range(N_TEXT_ROWS // 2):
-                y = 80 + r * 56
-                baselines.append(np.array([[x0, y], [x1, y]], float))
-                heights.append([26.0, 8.0])
-        return baselines, heights
 
-    def run_pages(page_list):
+def bench_pages(pages, pipeline, lines_override):
+    def run():
         total = 0
-        for result in pipeline.run(page_list, lines_override=page_lines, page_batch=4):
+        page_list = [pages[i % len(pages)] for i in range(BENCH_PAGES)]
+        for result in pipeline.run(
+            page_list, lines_override=lines_override, page_batch=4
+        ):
             if result.label_lengths is not None:
                 total += int(result.label_lengths.sum())
         return total
 
-    # Warmup (compiles).
-    run_pages([pages[i % len(pages)] for i in range(WARMUP_PAGES)])
+    run_warm = [pages[i % len(pages)] for i in range(WARMUP_PAGES)]
+    list(pipeline.run(run_warm, lines_override=lines_override, page_batch=4))
+    elapsed = best_of(3, run)
+    return BENCH_PAGES / elapsed
 
-    # The tunneled chip's throughput varies run to run (shared link);
-    # take the best of three short trials as the capability number.
-    best_elapsed = None
-    total_lines = 0
-    for _ in range(3):
-        t0 = time.perf_counter()
-        total_lines = run_pages(
-            [pages[i % len(pages)] for i in range(BENCH_PAGES)]
-        )
-        trial = time.perf_counter() - t0
-        best_elapsed = trial if best_elapsed is None else min(best_elapsed, trial)
-    elapsed = best_elapsed
 
-    pages_per_sec = BENCH_PAGES / elapsed
-    lines_per_sec = BENCH_PAGES * N_TEXT_ROWS / elapsed
-    print(
-        f"# {pages_per_sec:.2f} pages/s, {lines_per_sec:.1f} lines/s, "
-        f"{elapsed / BENCH_PAGES * 1000:.1f} ms/page on {jax.devices()[0]}",
-        file=sys.stderr,
+def bench_beam_lm():
+    """Config-3 shape: TPU beam search + in-graph LM over stored logits."""
+    import jax
+    import jax.numpy as jnp
+
+    from pero_ocr_tpu.decoding.decoders import BLANK_SYMBOL
+    from pero_ocr_tpu.decoding.tpu_decoder import TPUBeamSearchDecoder
+    from pero_ocr_tpu.models.charlm import CharLM, CharLMSpec
+
+    n_chars = 80
+    letters = [chr(0x21 + i) for i in range(n_chars)] + [BLANK_SYMBOL]
+    spec = CharLMSpec(
+        vocab_size=n_chars + 1, embed_dim=64, hidden_dim=512, num_layers=2
     )
-    print(
-        json.dumps(
-            {
-                "metric": "newspaper_pages_per_sec_per_chip",
-                "value": round(pages_per_sec, 3),
-                "unit": "pages/s",
-                "vs_baseline": round(pages_per_sec / NORTH_STAR_PAGES_PER_SEC, 3),
-            }
+    model = CharLM(spec)
+    variables = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 1), jnp.int32))
+    decoder = TPUBeamSearchDecoder(
+        letters, k=8, lm=(model, variables), lm_scale=0.5, max_len=256
+    )
+
+    rng = np.random.default_rng(2)
+    frames = 128
+    probs = rng.dirichlet(np.ones(n_chars + 1), size=(N_TEXT_ROWS, frames))
+    logprobs = np.log(probs).astype(np.float32)
+
+    decoder.decode_batch(logprobs)  # compile + warm
+    elapsed = best_of(3, lambda: decoder.decode_batch(logprobs))
+    return N_TEXT_ROWS / elapsed
+
+
+def bench_alto_alignment():
+    """Config-5 shape: ALTO export with forced alignment + word geometry
+    over stored logits (reference archive-job shape, BASELINE.md)."""
+    from scipy import sparse
+
+    from pero_ocr_tpu.core.layout import PageLayout, RegionLayout, TextLine
+
+    chars = [chr(0x61 + (i % 26)) for i in range(26)] + [" ", "\u200b"]
+    blank = len(chars) - 1
+    text = "the quick brown fox jumps over it"
+
+    def line_logits(text):
+        t = len(text) * 3 + 4
+        logits = np.zeros((t, len(chars)), np.float32)
+        logits[:, blank] = 12.0
+        for i, ch in enumerate(text):
+            frame = 2 + 3 * i
+            logits[frame, blank] = 0.0
+            logits[frame, chars.index(ch)] = 15.0
+        return sparse.csc_matrix(logits)
+
+    layout = PageLayout(id="bench", page_size=(PAGE_H, PAGE_W))
+    region = RegionLayout(
+        "r0",
+        np.array([[0, 0], [PAGE_W, 0], [PAGE_W, PAGE_H], [0, PAGE_H]]),
+    )
+    bl, hh = page_lines(np.zeros((PAGE_H, PAGE_W, 3), np.uint8))
+    for i, (b, h) in enumerate(zip(bl, hh)):
+        line = TextLine(
+            id=f"l{i}", baseline=b, heights=h,
+            polygon=np.array(
+                [b[0] - [0, h[0]], b[1] - [0, h[0]],
+                 b[1] + [0, h[1]], b[0] + [0, h[1]]]
+            ),
         )
-    )
+        line.transcription = text
+        line.logits = line_logits(text)
+        line.characters = chars
+        line.logit_coords = [0, len(text) * 3 + 4]
+        region.lines.append(line)
+    layout.regions.append(region)
+
+    layout.to_altoxml_string()  # warm caches/compiles
+    elapsed = best_of(3, layout.to_altoxml_string)
+    return len(bl) / elapsed
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--profile", metavar="DIR",
+                        help="jax.profiler trace of the measured loops")
+    parser.add_argument("--skip-extras", action="store_true",
+                        help="only the headline config-2 measurement")
+    args = parser.parse_args()
+
+    from pero_ocr_tpu.utils.jax_setup import configure
+
+    configure()
+
+    import jax
+
+    from pero_ocr_tpu.parallel.pipeline import TPUPagePipeline
+    from pero_ocr_tpu.utils.timing import jax_profile
+
+    rng = np.random.default_rng(0)
+    pages = [make_page(rng) for _ in range(3)]
+
+    class IdealMaskPipeline(TPUPagePipeline):
+        """Substitutes ideal-detector masks at the host boundary (the
+        real unpack still runs, keeping its cost in the loop)."""
+
+        def _unpack_stage_a(self, packed, heights_q):
+            super()._unpack_stage_a(packed, heights_q)
+            pb = packed.shape[0]
+            b, c, h = ideal_cache
+            return (
+                np.broadcast_to(b, (pb,) + b.shape),
+                np.broadcast_to(c, (pb,) + c.shape),
+                np.broadcast_to(h, (pb,) + h.shape),
+            )
+
+    ideal_cache = ideal_masks()
+
+    with jax_profile(args.profile):
+        pipeline = build_pipeline(TPUPagePipeline)
+        pages_per_sec = bench_pages(pages, pipeline, page_lines)
+        print(
+            f"# config-2: {pages_per_sec:.2f} pages/s "
+            f"({1000.0 / pages_per_sec:.1f} ms/page) on {jax.devices()[0]}",
+            file=sys.stderr,
+        )
+
+        honest = beam = alto = None
+        if not args.skip_extras:
+            honest_pipeline = build_pipeline(IdealMaskPipeline)
+            honest = bench_pages(pages, honest_pipeline, None)
+            print(f"# honest_cnn: {honest:.2f} pages/s", file=sys.stderr)
+
+            beam = bench_beam_lm()
+            print(f"# beam_lm: {beam:.1f} lines/s", file=sys.stderr)
+
+            alto = bench_alto_alignment()
+            print(f"# alto_alignment: {alto:.1f} lines/s", file=sys.stderr)
+
+    out = {
+        "metric": "newspaper_pages_per_sec_per_chip",
+        "value": round(pages_per_sec, 3),
+        "unit": "pages/s",
+        "vs_baseline": round(pages_per_sec / NORTH_STAR_PAGES_PER_SEC, 3),
+    }
+    if honest is not None:
+        out["honest_cnn_pages_per_sec"] = round(honest, 3)
+    if beam is not None:
+        out["beam_lm_lines_per_sec"] = round(beam, 1)
+    if alto is not None:
+        out["alto_alignment_lines_per_sec"] = round(alto, 1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
