@@ -112,7 +112,7 @@ def best_of(n_trials, fn):
     return best
 
 
-def build_pipeline(cls):
+def build_pipeline(cls, transport_bits=4):
     import jax
     import jax.numpy as jnp
 
@@ -135,7 +135,7 @@ def build_pipeline(cls):
     return cls(
         parsenet, pn_params, recognizer, rec_params,
         downsample=4, crop_bucket=1024, line_slot=N_TEXT_ROWS,
-        transport="crops", transport_bits=4,
+        transport="crops", transport_bits=transport_bits,
     )
 
 
@@ -239,6 +239,9 @@ def main():
                         help="jax.profiler trace of the measured loops")
     parser.add_argument("--skip-extras", action="store_true",
                         help="only the headline config-2 measurement")
+    parser.add_argument("--transport-bits", type=int, default=4,
+                        choices=[2, 4, 8],
+                        help="crop packing (2 = print mode, CER-gated)")
     args = parser.parse_args()
 
     from pero_ocr_tpu.utils.jax_setup import configure
@@ -270,7 +273,7 @@ def main():
     ideal_cache = ideal_masks()
 
     with jax_profile(args.profile):
-        pipeline = build_pipeline(TPUPagePipeline)
+        pipeline = build_pipeline(TPUPagePipeline, args.transport_bits)
         pages_per_sec = bench_pages(pages, pipeline, page_lines)
         print(
             f"# config-2: {pages_per_sec:.2f} pages/s "

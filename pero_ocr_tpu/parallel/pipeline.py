@@ -10,7 +10,7 @@ packed two 4-bit pixels per byte — ``transport_bits=4``):
 - **Stage A** (one jitted dispatch): device area-downsample -> ParseNet
   maps -> fused post-processing.  Only tiny artifacts return to the
   host: 2-bit-packed baseline/connection masks (4 px/byte) and a
-  half-resolution quarter-pixel-quantized heights map (~0.2MB/page).
+  quarter-resolution quarter-pixel-quantized heights map (~0.1MB/page).
 - **Host**: connected components -> baselines (vectorized numpy; tiny
   next to device work; geometry uploads are ~KB).
 - **Stage B** (two chained device programs, data resident): structured
@@ -27,9 +27,11 @@ total vs ~2.3MB) for the recognizer.  Measured on the v5e tunnel
 (~142MB/s vs ~55MB/s for entropy-dense bytes), so bucket padding is
 nearly free.
 
-Batches overlap twice: the NEXT batch's upload + stage-A dispatch run on
-a worker thread while this thread post-processes the current batch, and
-stage-B label fetches trail one batch behind their dispatch.
+Batches overlap several ways: the NEXT batch's image prep runs on a
+worker thread; in crop transport the host geometry parse + warp of
+batch i run on a second worker overlapped with batch i+1's whole
+upload/dispatch/sync (crops trail their page batch by 2 dispatches);
+in page transport, stage-B label fetches trail one batch behind.
 
 On a multi-chip mesh the page batch axis shards over ``dp``; on one chip
 this degenerates to the pipelined single-stream below.
@@ -160,14 +162,16 @@ class TPUPagePipeline:
                 + (packed[..., 2] << 4)
                 + (packed[..., 3] << 6)
             )
-            # Heights at half resolution (the maps are smooth), quarter-px
-            # quantized uint8.
-            heights_half = jax.lax.reduce_window(
-                heights_map, 0.0, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1),
+            # Heights at quarter resolution (the maps are smooth),
+            # quarter-px quantized uint8 — 143KB per 4-page batch on the
+            # link instead of 573KB at half-res (the heights download was
+            # the largest stage-A artifact).
+            heights_q4 = jax.lax.reduce_window(
+                heights_map, 0.0, jax.lax.max, (1, 4, 4, 1), (1, 4, 4, 1),
                 "VALID",
             )
             heights_q = jnp.clip(
-                jnp.round(heights_half * 4.0), 0, 255
+                jnp.round(heights_q4 * 4.0), 0, 255
             ).astype(jnp.uint8)
             return packed, heights_q
 
@@ -589,7 +593,7 @@ class TPUPagePipeline:
 
     def _unpack_stage_a(self, packed, heights_q):
         """Host side of the stage-A artifact transport: 4x 2-bit pixels
-        per byte -> masks; heights upsampled 2x back."""
+        per byte -> masks; quarter-res heights upsampled 4x back."""
         two_bit = np.stack(
             [(packed >> (2 * i)) & 3 for i in range(4)], axis=-1
         ).reshape(packed.shape[0], packed.shape[1], packed.shape[2] * 4)
@@ -597,7 +601,7 @@ class TPUPagePipeline:
         connecteds = (two_bit >> 1) & 1
         heights_maps = (
             heights_q.astype(np.float32) / 4.0
-        ).repeat(2, axis=1).repeat(2, axis=2)
+        ).repeat(4, axis=1).repeat(4, axis=2)
         return baselines_masks, connecteds, heights_maps
 
     def _batch_lines(self, pages, ids, lines_override, masks):
@@ -756,10 +760,15 @@ class TPUPagePipeline:
 
     def _run_crops(self, pages, lines_override, page_batch):
         """Crop transport: ONE combined program per batch (stage A of
-        batch i + recognition of batch i-1's host-warped crops), so the
+        batch i + recognition of batch i-LAG's host-warped crops), so the
         high-RTT link sees a single repeated program and one forced sync
-        per batch.  A final flush dispatch (zero small pages) recognizes
-        the last batch's crops."""
+        per batch.  Crops TRAIL the dispatch by LAG=2 batches so the
+        host geometry parse + cv2 warp of batch i run in a worker thread
+        OVERLAPPED with batch i+1's entire upload/dispatch/sync — this
+        tunnel serializes device compute with transfers, so every
+        millisecond of host work off the critical path is a millisecond
+        of link time saved.  LAG flush dispatches (zero small pages)
+        recognize the final batches' crops."""
         from concurrent.futures import ThreadPoolExecutor
 
         from pero_ocr_tpu.utils.timing import stage_timer
@@ -770,6 +779,7 @@ class TPUPagePipeline:
             for s in range(0, n, page_batch)
         ]
         n_batches = len(batches)
+        lag = 2 if n_batches > 1 else 1
 
         def prep(batch_idx):
             """Host image work for one batch (worker thread): grayscale
@@ -782,15 +792,57 @@ class TPUPagePipeline:
                 small = self._pack4(small)
             return grays, small
 
+        def geometry_and_warp(bi, grays, masks):
+            """Worker-thread job: CC line parse + host crop warp + pack
+            for one batch.  Returns (ids, geoms, packed_crops|None,
+            n_slot)."""
+            ids = batches[bi]
+            with stage_timer("pipeline/host_geometry"):
+                page_lines, max_n, n_slot = self._batch_lines(
+                    pages, ids, lines_override, masks
+                )
+            with stage_timer("pipeline/host_warp"):
+                crop_stack = np.zeros(
+                    (page_batch, n_slot, self.crop_height,
+                     self.crop_bucket),
+                    np.uint8,
+                )
+                widths_all = []
+                for slot, (b_list, h_list) in enumerate(page_lines):
+                    if b_list:
+                        crop_stack[slot], w = self._host_crops(
+                            grays[slot], b_list, h_list, n_slot
+                        )
+                        widths_all.append(w[: len(b_list)])
+                    else:
+                        widths_all.append(None)
+            geoms = [
+                (b, h, w) for (b, h), w in zip(page_lines, widths_all)
+            ]
+            if max_n == 0:
+                return ids, geoms, None, n_slot
+            flat = crop_stack.reshape(
+                page_batch * n_slot, self.crop_height, self.crop_bucket
+            )
+            if self.transport_bits in (2, 4):
+                with stage_timer("pipeline/pack_crops"):
+                    flat = (
+                        self._pack4(flat) if self.transport_bits == 4
+                        else self._pack2(flat)
+                    )
+            return ids, geoms, flat, n_slot
+
         uploader = ThreadPoolExecutor(max_workers=1)
+        warper = ThreadPoolExecutor(max_workers=1)
         prep_f = uploader.submit(prep, 0)
 
         small_shape = None
-        prev = None          # (ids, geoms) awaiting labels
-        prev_crops = None    # packed host-warped crops of the prev batch
-        prev_n_slot = self.line_slot
+        warp_futures = {}   # bi -> Future[(ids, geoms, crops|None, n_slot)]
+        dispatched = {}     # bi -> (ids, geoms, has_labels)
 
-        for bi in range(n_batches + 1):
+        wb = self.crop_bucket // {8: 1, 4: 2, 2: 4}[self.transport_bits]
+
+        for bi in range(n_batches + lag):
             if bi < n_batches:
                 with stage_timer("pipeline/prep"):
                     grays, small = prep_f.result()
@@ -799,18 +851,26 @@ class TPUPagePipeline:
                 small_dev = jnp.asarray(small)
                 small_shape = small.shape
             else:
-                # Flush dispatch: recognize the final batch's crops; the
-                # zero small pages' masks are discarded.
+                # Flush dispatch: recognize trailing crops; the zero
+                # small pages' masks are discarded.
                 small_dev = jnp.zeros(small_shape, jnp.uint8)
 
-            if prev_crops is None:
-                wb = self.crop_bucket // {8: 1, 4: 2, 2: 4}[self.transport_bits]
+            rec_bi = bi - lag
+            fut = warp_futures.pop(rec_bi, None)
+            if fut is not None:
+                with stage_timer("pipeline/warp_wait"):
+                    rec_ids, rec_geoms, rec_crops, rec_slot = fut.result()
+                dispatched[rec_bi] = (rec_ids, rec_geoms,
+                                      rec_crops is not None)
+            else:
+                rec_crops = None
+            if rec_crops is None:
                 crops_dev = jnp.zeros(
-                    (page_batch * prev_n_slot, self.crop_height, wb),
+                    (page_batch * self.line_slot, self.crop_height, wb),
                     jnp.uint8,
                 )
             else:
-                crops_dev = jnp.asarray(prev_crops)
+                crops_dev = jnp.asarray(rec_crops)
 
             with stage_timer("pipeline/combined_dispatch"):
                 packed_m, heights_q, labels_dev, lengths_dev = (
@@ -818,9 +878,10 @@ class TPUPagePipeline:
                 )
 
             # ONE forced-fetch round per dispatch: batch bi's masks and
-            # batch bi-1's labels arrive together (a second fetch would
-            # pay the link RTT again).
-            need_labels = prev is not None and prev[2]
+            # batch bi-lag's labels arrive together (a second fetch
+            # would pay the link RTT again).
+            entry = dispatched.pop(rec_bi, None)
+            need_labels = entry is not None and entry[2]
             with stage_timer("pipeline/sync"):
                 fetch = [packed_m, heights_q] if bi < n_batches else []
                 if need_labels:
@@ -832,59 +893,13 @@ class TPUPagePipeline:
                 labels_np = lengths_np = None
 
             if bi < n_batches:
-                ids = batches[bi]
                 masks = self._unpack_stage_a(fetched[0], fetched[1])
-                with stage_timer("pipeline/host_geometry"):
-                    page_lines, max_n, n_slot = self._batch_lines(
-                        pages, ids, lines_override, masks
-                    )
-                with stage_timer("pipeline/host_warp"):
-                    crop_stack = np.zeros(
-                        (page_batch, n_slot, self.crop_height,
-                         self.crop_bucket),
-                        np.uint8,
-                    )
-                    widths_all = []
-                    for slot, (b_list, h_list) in enumerate(page_lines):
-                        if b_list:
-                            crop_stack[slot], w = self._host_crops(
-                                grays[slot], b_list, h_list, n_slot
-                            )
-                            widths_all.append(w[: len(b_list)])
-                        else:
-                            widths_all.append(None)
-                geoms = [
-                    (b, h, w)
-                    for (b, h), w in zip(page_lines, widths_all)
-                ]
-                if max_n == 0:
-                    next_crops = None
-                    next_has_labels = False
-                else:
-                    flat = crop_stack.reshape(
-                        page_batch * n_slot, self.crop_height,
-                        self.crop_bucket,
-                    )
-                    if self.transport_bits in (2, 4):
-                        with stage_timer("pipeline/pack_crops"):
-                            flat = (
-                                self._pack4(flat)
-                                if self.transport_bits == 4
-                                else self._pack2(flat)
-                            )
-                    next_crops = flat
-                    next_has_labels = True
-
-            if prev is not None:
-                prev_ids, prev_geoms, _ = prev
-                yield from self._drain(
-                    (prev_ids, prev_geoms, labels_np, lengths_np),
-                    stage_timer,
+                warp_futures[bi] = warper.submit(
+                    geometry_and_warp, bi, grays, masks
                 )
 
-            if bi < n_batches:
-                prev = (ids, geoms, next_has_labels)
-                prev_crops = next_crops
-                prev_n_slot = n_slot if next_crops is not None else (
-                    self.line_slot
+            if entry is not None:
+                yield from self._drain(
+                    (entry[0], entry[1], labels_np, lengths_np),
+                    stage_timer,
                 )

@@ -159,8 +159,48 @@ def bench_device_chain(K=8, reps=3):
         print(f"  {name}: {best:.1f} ms/dispatch ({best/4:.1f} ms/page)")
 
 
+def bench_transport_floor(reps=6):
+    """The crop-transport pipeline's LINK FLOOR: move exactly its
+    per-batch bytes (4-bit small pages + 4-bit crops up; packed masks +
+    quantized heights + uint8 labels down) through a TRIVIAL device
+    program — no model compute.  If end-to-end pages/s ~= this floor,
+    the tunnel is saturated and device compute is fully hidden."""
+    print("== crop-transport link floor (pb=4, 40 lines/page)")
+    rng = np.random.default_rng(1)
+    small = rng.integers(0, 256, (4, 640, 224), np.uint8)      # 4-bit pages
+    crops = np.full((160, 32, 512), 0xEE, np.uint8)            # 4-bit crops
+    ink = rng.random(crops.shape) < 0.15
+    crops[ink] = rng.integers(0, 64, ink.sum())
+
+    @jax.jit
+    def move(small_u8, crops_u8):
+        packed = small_u8[:, :, :112] ^ jnp.uint8(1)           # (4,640,112)
+        heights = jnp.repeat(
+            small_u8[:, ::2, :], 2, axis=2
+        )[:, :320, :448].reshape(4, 320, 224, 2)               # (4,320,224,2)
+        labels = crops_u8[:, 0, :256].reshape(4, 40, 256)      # (4,40,256)
+        return packed, heights, labels
+
+    fetch_all = lambda outs: [np.asarray(o) for o in outs]
+    fetch_all(move(jnp.asarray(small), jnp.asarray(crops)))    # warm
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fetch_all(move(jnp.asarray(small), jnp.asarray(crops)))
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    up_mb = (small.nbytes + crops.nbytes) / 1e6
+    down_mb = (4 * 640 * 112 + 4 * 320 * 224 * 2 + 4 * 40 * 256) / 1e6
+    print(
+        f"  {up_mb:.2f}MB up + {down_mb:.2f}MB down per 4-page batch: "
+        f"{best*1000:.0f} ms -> floor {4/best:.1f} pages/s"
+    )
+    return 4 / best
+
+
 if __name__ == "__main__":
     print(f"device: {jax.devices()[0]}")
     bench_upload()
     bench_host_page()
     bench_device_chain()
+    bench_transport_floor()
