@@ -114,6 +114,113 @@ def shard_train_state(state: TrainState, mesh: Mesh) -> TrainState:
 
 
 # ----------------------------------------------------------------------
+# ParseNet (layout) training.  The reference consumes an externally
+# trained TorchScript binary (torch_parsenet.py:15); here the 5-channel
+# map CNN trains in-framework: sigmoid-BCE on the mask channels
+# (baseline, endpoint, separator) + masked L1 on the height regressions,
+# matching the channel semantics at cnn_layout_engine.py:128-133.
+# ----------------------------------------------------------------------
+def parsenet_loss_fn(
+    model,
+    params,
+    images: jnp.ndarray,
+    target_maps: jnp.ndarray,
+    height_weight: float = 0.01,
+) -> jnp.ndarray:
+    """images (B, H, W, 3); target_maps (B, H, W, 5) with channels
+    [asc_height, desc_height, baseline, endpoint, separator]; heights
+    are supervised only where the baseline mask is on."""
+    pred = model.apply(params, images)
+    # The model emits post-sigmoid probabilities for the mask channels
+    # (models/parsenet.py:92), so BCE operates in probability space.
+    p = jnp.clip(pred[..., 2:5], 1e-6, 1.0 - 1e-6)
+    mask_tgt = target_maps[..., 2:5]
+    bce = -(
+        mask_tgt * jnp.log(p) + (1.0 - mask_tgt) * jnp.log(1.0 - p)
+    ).mean()
+
+    on = target_maps[..., 2:3]
+    h_err = jnp.abs(pred[..., 0:2] - target_maps[..., 0:2]) * on
+    h_l1 = h_err.sum() / jnp.maximum(on.sum() * 2.0, 1.0)
+    return bce + height_weight * h_l1
+
+
+def make_parsenet_train_step(model, optimizer: optax.GradientTransformation):
+    def train_step(state: TrainState, images, target_maps):
+        loss, grads = jax.value_and_grad(
+            lambda p: parsenet_loss_fn(model, p, images, target_maps)
+        )(state.params)
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(new_params, new_opt, state.step + 1), loss
+
+    return train_step
+
+
+def init_parsenet_train_state(
+    model, optimizer, rng: jax.Array, size: int = 64
+) -> TrainState:
+    params = model.init(rng, jnp.zeros((1, size, size, 3), jnp.float32))
+    return TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
+
+
+# ----------------------------------------------------------------------
+# Transformer-OCR training: teacher-forced cross-entropy with BOS-shifted
+# targets (the reference's transformer likewise trains with a causal mask
+# over label embeddings, transformer.py:533-544; training itself happens
+# outside the reference repo).
+# ----------------------------------------------------------------------
+def transformer_loss_fn(
+    model,
+    params,
+    images: jnp.ndarray,
+    targets: jnp.ndarray,
+    target_lengths: jnp.ndarray,
+) -> jnp.ndarray:
+    """targets (B, L) char ids WITHOUT specials; the loss prefixes BOS,
+    appends EOS at each line's length, and masks padding."""
+    sp = model.spec
+    b, l = targets.shape
+    bos = jnp.full((b, 1), sp.bos_id, jnp.int32)
+    inputs = jnp.concatenate([bos, targets], axis=1)          # (B, L+1)
+    pos = jnp.arange(l + 1)[None, :]
+    # Label at each position: next char, EOS at the length, pad after.
+    shifted = jnp.concatenate(
+        [targets, jnp.zeros((b, 1), targets.dtype)], axis=1
+    )
+    labels = jnp.where(pos == target_lengths[:, None], sp.eos_id, shifted)
+    valid = (pos <= target_lengths[:, None]).astype(jnp.float32)
+
+    logits = model.apply(params, images, inputs)              # (B, L+1, V)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    return (nll * valid).sum() / jnp.maximum(valid.sum(), 1.0)
+
+
+def make_transformer_train_step(model, optimizer: optax.GradientTransformation):
+    def train_step(state: TrainState, images, targets, target_lengths):
+        loss, grads = jax.value_and_grad(
+            lambda p: transformer_loss_fn(
+                model, p, images, targets, target_lengths
+            )
+        )(state.params)
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(new_params, new_opt, state.step + 1), loss
+
+    return train_step
+
+
+def init_transformer_train_state(
+    model, optimizer, rng: jax.Array, line_height: int, width: int = 128
+) -> TrainState:
+    dummy = jnp.zeros((1, line_height, width, 3), jnp.float32)
+    targets = jnp.zeros((1, 4), jnp.int32)
+    params = model.init(rng, dummy, targets)
+    return TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
+
+
+# ----------------------------------------------------------------------
 # Character-LM training (for the beam-search rescoring LM; the reference
 # consumes an externally trained brnolm model, decoding_itf.py:27-46 —
 # here the LM trains in-framework and exports to the itf checkpoint

@@ -1,0 +1,121 @@
+"""In-framework training steps for the layout net and the transformer
+(the reference consumes externally trained binaries for both —
+torch_parsenet.py:15, transformer_ocr_engine.py:28; this framework
+closes the loop with jittable train steps, parallel/train.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pero_ocr_tpu.models.parsenet import ParseNet
+from pero_ocr_tpu.models.transformer import TransformerOCR, TransformerSpec
+from pero_ocr_tpu.parallel import train as train_lib
+
+
+class TestParseNetTraining:
+    def test_loss_decreases_on_synthetic_maps(self):
+        model = ParseNet(base_features=4, depth=2)
+        optimizer = train_lib.make_optimizer(3e-3)
+        state = train_lib.init_parsenet_train_state(
+            model, optimizer, jax.random.PRNGKey(0), size=64
+        )
+        step = jax.jit(train_lib.make_parsenet_train_step(model, optimizer))
+
+        rng = np.random.default_rng(0)
+        images = jnp.asarray(
+            rng.uniform(size=(2, 64, 64, 3)).astype(np.float32)
+        )
+        maps = np.zeros((2, 64, 64, 5), np.float32)
+        maps[:, 20, 8:56, 2] = 1.0          # baseline row
+        maps[:, 20, [8, 55], 3] = 1.0       # endpoints
+        maps[:, :, 32, 4] = 1.0             # separator column
+        maps[:, 20, 8:56, 0] = 6.0          # asc height on baseline
+        maps[:, 20, 8:56, 1] = 2.0          # desc height
+        maps = jnp.asarray(maps)
+
+        losses = []
+        for _ in range(8):
+            state, loss = step(state, images, maps)
+            losses.append(float(loss))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
+
+    def test_height_supervision_masked_to_baseline(self):
+        """Height error off the baseline mask must not contribute."""
+        model = ParseNet(base_features=4, depth=2)
+        params = model.init(
+            jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3), jnp.float32)
+        )
+        images = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        maps_off = np.zeros((1, 64, 64, 5), np.float32)
+        maps_off[..., 0:2] = 50.0           # huge heights, NO baseline on
+        loss_off = float(train_lib.parsenet_loss_fn(
+            model, params, images, jnp.asarray(maps_off)
+        ))
+        maps_on = maps_off.copy()
+        maps_on[:, 20, :, 2] = 1.0          # switch the baseline mask on
+        loss_on = float(train_lib.parsenet_loss_fn(
+            model, params, images, jnp.asarray(maps_on)
+        ))
+        assert loss_on > loss_off           # heights now count (+ mask BCE)
+
+
+class TestTransformerTraining:
+    def test_memorizes_tiny_batch(self):
+        spec = TransformerSpec(
+            num_classes=5, line_height=16, conv_features=(4, 8),
+            subsampling=2, d_model=16, num_heads=2, encoder_layers=1,
+            decoder_layers=1, mlp_dim=32, max_decode_len=8,
+            dtype=jnp.float32,
+        )
+        model = TransformerOCR(spec)
+        optimizer = train_lib.make_optimizer(3e-3)
+        state = train_lib.init_transformer_train_state(
+            model, optimizer, jax.random.PRNGKey(0), 16, width=32
+        )
+        step = jax.jit(
+            train_lib.make_transformer_train_step(model, optimizer)
+        )
+
+        rng = np.random.default_rng(1)
+        images = jnp.asarray(
+            rng.uniform(size=(2, 16, 32, 3)).astype(np.float32)
+        )
+        targets = jnp.asarray([[1, 2, 3, 0], [4, 0, 0, 0]], jnp.int32)
+        lengths = jnp.asarray([3, 1], jnp.int32)
+
+        losses = []
+        for _ in range(12):
+            state, loss = step(state, images, targets, lengths)
+            losses.append(float(loss))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
+
+    def test_padding_positions_do_not_leak(self):
+        """Changing PAD content beyond target_lengths must not change the
+        loss (masking correctness)."""
+        spec = TransformerSpec(
+            num_classes=5, line_height=16, conv_features=(4,),
+            subsampling=2, d_model=8, num_heads=2, encoder_layers=1,
+            decoder_layers=1, mlp_dim=16, max_decode_len=8,
+            dtype=jnp.float32,
+        )
+        model = TransformerOCR(spec)
+        params = model.init(
+            jax.random.PRNGKey(2),
+            jnp.zeros((1, 16, 32, 3), jnp.float32),
+            jnp.zeros((1, 4), jnp.int32),
+        )
+        images = jnp.zeros((1, 16, 32, 3), jnp.float32)
+        a = jnp.asarray([[1, 2, 0, 0]], jnp.int32)
+        lengths = jnp.asarray([2], jnp.int32)
+        la = float(train_lib.transformer_loss_fn(
+            model, params, images, a, lengths
+        ))
+        # Pad slots differ, but only AFTER position target_lengths+1;
+        # note pad content feeds causal inputs at masked positions only.
+        b = jnp.asarray([[1, 2, 3, 4]], jnp.int32)
+        lb = float(train_lib.transformer_loss_fn(
+            model, params, images, b, lengths
+        ))
+        assert abs(la - lb) < 1e-5
