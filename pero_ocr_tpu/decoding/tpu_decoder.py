@@ -289,6 +289,12 @@ class TPUBeamSearchDecoder:
         )
         total = visual + self.lm_scale * lm_table
 
+        # Single wide top-k over K*(V+1).  A two-stage variant (per-row
+        # top-k then top-k over the K*k survivors — exact, since a row
+        # places at most k winners) was measured on the v5e: +2% decode
+        # rate at V=81 but ~15 minutes of extra XLA compile for the
+        # 128-frame scan — the scan is LM-LSTM-bound, not top-k-bound,
+        # so the simple form wins.
         flat_total = total.reshape(b, k * (v + 1))
         _, flat_idx = jax.lax.top_k(flat_total, k)
         rows = flat_idx // (v + 1)                   # (B, K)

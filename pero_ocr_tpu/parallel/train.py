@@ -165,6 +165,42 @@ def init_parsenet_train_state(
 
 
 # ----------------------------------------------------------------------
+# OrientationNet training: cosine loss on the per-pixel text-direction
+# vectors inside the text mask.  The net's output magnitude carries no
+# meaning (consumers take arctan2, cnn_layout_engine.py:35-54), so the
+# prediction normalizes before comparison.
+# ----------------------------------------------------------------------
+def orientation_loss_fn(
+    model,
+    params,
+    images: jnp.ndarray,
+    target_dirs: jnp.ndarray,
+    text_mask: jnp.ndarray,
+) -> jnp.ndarray:
+    """target_dirs (B, H, W, 2) unit vectors; text_mask (B, H, W)."""
+    pred = model.apply(params, images)
+    # eps INSIDE the sqrt keeps the normalization gradient finite at
+    # zero-magnitude pixels (sqrt'(0) is infinite otherwise).
+    norm = jnp.sqrt((pred * pred).sum(-1, keepdims=True) + 1e-8)
+    cos = ((pred / norm) * target_dirs).sum(-1)
+    return ((1.0 - cos) * text_mask).sum() / jnp.maximum(text_mask.sum(), 1.0)
+
+
+def make_orientation_train_step(model, optimizer: optax.GradientTransformation):
+    def train_step(state: TrainState, images, target_dirs, text_mask):
+        loss, grads = jax.value_and_grad(
+            lambda p: orientation_loss_fn(
+                model, p, images, target_dirs, text_mask
+            )
+        )(state.params)
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(new_params, new_opt, state.step + 1), loss
+
+    return train_step
+
+
+# ----------------------------------------------------------------------
 # Transformer-OCR training: teacher-forced cross-entropy with BOS-shifted
 # targets (the reference's transformer likewise trains with a causal mask
 # over label embeddings, transformer.py:533-544; training itself happens

@@ -81,6 +81,16 @@ def parse_arguments():
     parser.add_argument("--process-count", type=int, default=1,
                         help="Parallel page processes (line-cropping-only "
                              "configs; neural stages run in-process).")
+    parser.add_argument("--shard-index", type=int, default=0,
+                        help="This host's shard number (0-based) for "
+                             "multi-host folder sharding over DCN: each "
+                             "host processes every shard-count'th file of "
+                             "the sorted listing (SURVEY.md 5.8; pages "
+                             "are independent so no collectives are "
+                             "needed — pair with --skip-processed for "
+                             "elastic re-runs).")
+    parser.add_argument("--shard-count", type=int, default=1,
+                        help="Total hosts sharding this folder.")
     return parser.parse_args()
 
 
@@ -90,6 +100,20 @@ def setup_logging(config):
         format="[%(levelname)s] %(asctime)s - %(name)s - %(message)s", level=level
     )
     logging.getLogger("pero_ocr_tpu").setLevel(level)
+
+
+def shard_file_lists(ids, images, shard_index: int, shard_count: int):
+    """Deterministic round-robin shard of the sorted file listing for
+    multi-host folder processing over DCN (SURVEY.md §5.8): pages are
+    independent, so hosts need no coordination beyond agreeing on the
+    sorted listing; stride-slicing balances mixed page sizes better than
+    contiguous blocks."""
+    if not (0 <= shard_index < shard_count):
+        raise ValueError(
+            f"--shard-index {shard_index} outside [0, {shard_count})"
+        )
+    keep = slice(shard_index, None, shard_count)
+    return ids[keep], images[keep]
 
 
 def get_value_or_none(config, section, key):
@@ -373,6 +397,16 @@ def main():
         raise Exception(
             "Either INPUT_IMAGE_PATH or INPUT_XML_PATH has to be specified. "
             f"Both are missing in {config_path}."
+        )
+
+    if args.shard_count > 1:
+        ids_to_process, images_to_process = shard_file_lists(
+            ids_to_process, images_to_process,
+            args.shard_index, args.shard_count,
+        )
+        logger.info(
+            "Shard %d/%d: %d file(s).",
+            args.shard_index, args.shard_count, len(ids_to_process),
         )
 
     if args.skip_processed:

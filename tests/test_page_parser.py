@@ -473,3 +473,47 @@ class TestFastPipelineAdapter:
         parser = PageParser(make_config(ocr_json))  # classical layout
         with pytest.raises(ValueError):
             FastPagePipeline(parser)
+
+
+class TestFolderSharding:
+    """Multi-host folder sharding (parse_folder --shard-index/--shard-count;
+    SURVEY.md §5.8 DCN scale-out)."""
+
+    def _load(self):
+        import importlib.util
+        import os
+
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts", "parse_folder.py",
+        )
+        spec = importlib.util.spec_from_file_location("parse_folder_mod", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def test_shards_partition_and_cover(self):
+        mod = self._load()
+        ids = [f"p{i}" for i in range(10)]
+        imgs = [f"p{i}.jpg" for i in range(10)]
+        seen = []
+        for s in range(3):
+            sid, simg = mod.shard_file_lists(ids, imgs, s, 3)
+            assert len(sid) in (3, 4)
+            assert [i + ".jpg" for i in sid] == simg
+            seen.extend(sid)
+        assert sorted(seen) == sorted(ids)     # full coverage
+        assert len(set(seen)) == len(seen)     # no overlap
+
+    def test_single_shard_identity(self):
+        mod = self._load()
+        ids, imgs = ["a", "b"], ["a.jpg", "b.jpg"]
+        sid, simg = mod.shard_file_lists(ids, imgs, 0, 1)
+        assert sid == ids and simg == imgs
+
+    def test_bad_index_raises(self):
+        import pytest as _pytest
+
+        mod = self._load()
+        with _pytest.raises(ValueError):
+            mod.shard_file_lists([], [], 3, 3)

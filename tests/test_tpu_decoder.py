@@ -94,6 +94,31 @@ class TestVisualOnlyParity:
             assert p == pytest.approx(brute[transcript], rel=1e-3), transcript
 
 
+class TestBigCharsetParity:
+    def test_wide_vocab_matches_host(self):
+        """Charsets >= 64 take the two-stage top-k path; scores must
+        still match the host decoder exactly."""
+        n_chars = 80
+        letters = [chr(0x100 + i) for i in range(n_chars)] + [BLANK_SYMBOL]
+        rng = np.random.default_rng(11)
+        logits = lp(rng, 7, len(letters))
+
+        host = CTCPrefixLogRawNumpyDecoder(
+            letters, k=6, relevant_logits_selector=no_prune
+        )
+        host_bag = host(logits.astype(np.float64))
+        tpu = TPUBeamSearchDecoder(letters, k=6)
+        tpu_bag = tpu.decode_batch(logits[None])[0]
+
+        assert tpu_bag.best_hyp() == host_bag.best_hyp()
+        host_scores = {h.transcript: h.vis_sc for h in host_bag}
+        for h in tpu_bag:
+            if h.transcript in host_scores:
+                assert h.vis_sc == pytest.approx(
+                    host_scores[h.transcript], abs=1e-3
+                ), repr(h.transcript)
+
+
 class TestNoLengthCap:
     def test_long_line_not_truncated(self):
         """Hypotheses longer than the old max_len=256 prefix buffer must

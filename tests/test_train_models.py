@@ -119,3 +119,44 @@ class TestTransformerTraining:
             model, params, images, b, lengths
         ))
         assert abs(la - lb) < 1e-5
+
+
+class TestOrientationTraining:
+    def test_loss_decreases_and_mask_gates(self):
+        from pero_ocr_tpu.models.parsenet import OrientationNet
+
+        model = OrientationNet(base_features=4, depth=2)
+        optimizer = train_lib.make_optimizer(3e-3)
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3), jnp.float32)
+        )
+        state = train_lib.TrainState(
+            params, optimizer.init(params), jnp.zeros((), jnp.int32)
+        )
+        step = jax.jit(
+            train_lib.make_orientation_train_step(model, optimizer)
+        )
+
+        rng = np.random.default_rng(0)
+        images = jnp.asarray(
+            rng.uniform(size=(2, 32, 32, 3)).astype(np.float32)
+        )
+        dirs = np.zeros((2, 32, 32, 2), np.float32)
+        dirs[..., 0] = 1.0                   # horizontal text everywhere
+        mask = np.zeros((2, 32, 32), np.float32)
+        mask[:, 8:24, 4:28] = 1.0
+        dirs = jnp.asarray(dirs)
+        mask = jnp.asarray(mask)
+
+        losses = []
+        for _ in range(8):
+            state, loss = step(state, images, dirs, mask)
+            losses.append(float(loss))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
+
+        # Empty mask -> zero loss (nothing supervised).
+        zero = float(train_lib.orientation_loss_fn(
+            model, state.params, images, dirs, jnp.zeros_like(mask)
+        ))
+        assert zero == 0.0
