@@ -221,6 +221,10 @@ class LayoutExtractor:
             paragraph_line_threshold=config.getfloat(
                 "PARAGRAPH_LINE_THRESHOLD", fallback=0.3
             ),
+            # FAST_STEM=yes -> space-to-depth stem (~3.5x faster stage-A
+            # device time; requires a checkpoint trained with it).
+            stem="s2d" if config.getboolean("FAST_STEM", fallback=False)
+            else "conv",
         )
 
     def process_page(self, img, page_layout: PageLayout) -> PageLayout:

@@ -100,6 +100,7 @@ class LayoutEngine:
         vertical_line_connection_range: int = 5,
         smooth_line_predictions: bool = True,
         paragraph_line_threshold: float = 0.3,
+        stem: str = "conv",
     ):
         self.parsenet = ParseNetWrapper(
             model_path,
@@ -107,6 +108,7 @@ class LayoutEngine:
             adaptive_downsample=adaptive_downsample,
             max_mp=max_mp,
             detection_threshold=detection_threshold,
+            stem=stem,
         )
         self.line_end_weight = line_end_weight
         self.vertical_line_connection_range = vertical_line_connection_range

@@ -55,6 +55,7 @@ class ParseNetWrapper:
         adaptive_downsample: bool = True,
         base_features: int = 32,
         depth: int = 4,
+        stem: str = "conv",
     ):
         self.detection_threshold = detection_threshold
         self.adaptive_downsample = adaptive_downsample
@@ -62,7 +63,9 @@ class ParseNetWrapper:
         self.last_downsample = downsample
         self.max_megapixels = max_mp
 
-        self.model = ParseNet(base_features=base_features, depth=depth)
+        self.model = ParseNet(
+            base_features=base_features, depth=depth, stem=stem
+        )
 
         def init_fn():
             rng = jax.random.PRNGKey(0)

@@ -37,6 +37,52 @@ class TestParseNet:
         assert np.all(out[..., :2] >= 0)          # heights nonneg
         assert np.all((out[..., 2:] >= 0) & (out[..., 2:] <= 1))  # probs
 
+    def test_s2d_stem_same_output_contract(self):
+        """The fast space-to-depth stem keeps the (H, W, 5) full-res
+        output contract and value ranges."""
+        model = ParseNet(base_features=4, depth=2, stem="s2d")
+        x = jax.random.uniform(jax.random.PRNGKey(1), (1, 32, 32, 3))
+        params = model.init(jax.random.PRNGKey(0), x)
+        out = np.asarray(model.apply(params, x))
+        assert out.shape == (1, 32, 32, 5)
+        assert np.all(out[..., :2] >= 0)
+        assert np.all((out[..., 2:] >= 0) & (out[..., 2:] <= 1))
+
+    def test_s2d_stem_trains(self):
+        from pero_ocr_tpu.parallel import train as train_lib
+
+        model = ParseNet(base_features=4, depth=2, stem="s2d")
+        optimizer = train_lib.make_optimizer(3e-3)
+        state = train_lib.init_parsenet_train_state(
+            model, optimizer, jax.random.PRNGKey(0), size=32
+        )
+        step = jax.jit(train_lib.make_parsenet_train_step(model, optimizer))
+        images = jnp.zeros((1, 32, 32, 3), jnp.float32)
+        maps = np.zeros((1, 32, 32, 5), np.float32)
+        maps[:, 10, 4:28, 2] = 1.0
+        maps = jnp.asarray(maps)
+        losses = []
+        for _ in range(6):
+            state, loss = step(state, images, maps)
+            losses.append(float(loss))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
+
+    def test_space_to_depth_exact(self):
+        from pero_ocr_tpu.models.parsenet import space_to_depth
+
+        x = jnp.arange(2 * 4 * 4 * 3).reshape(2, 4, 4, 3).astype(jnp.float32)
+        y = np.asarray(space_to_depth(x, 2))
+        assert y.shape == (2, 2, 2, 12)
+        # Block (0,0) of image 0 = pixels (0,0),(0,1),(1,0),(1,1).
+        np.testing.assert_array_equal(
+            y[0, 0, 0],
+            np.concatenate([
+                np.asarray(x)[0, 0, 0], np.asarray(x)[0, 0, 1],
+                np.asarray(x)[0, 1, 0], np.asarray(x)[0, 1, 1],
+            ]),
+        )
+
     def test_orientation_net_direction_map(self):
         model = OrientationNet(base_features=4, depth=2)
         x = jax.random.uniform(jax.random.PRNGKey(42), (1, 16, 16, 3))
