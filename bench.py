@@ -129,7 +129,7 @@ def build_pipeline(cls, transport_bits=4):
     rec_spec = RecognizerSpec(
         num_classes=80, line_height=32,
         conv_features=(48, 96, 192, 384), subsampling=4,
-        lstm_layers=2, lstm_features=256,
+        lstm_layers=2, lstm_features=256, stem="s2d",
     )
     recognizer = CTCRecognizer(rec_spec)
     rec_params = recognizer.init(

@@ -38,6 +38,7 @@ class RecognizerSpec:
     embed_num: int = 0             # number of writer embeddings (0 = off)
     embed_dim: int = 64
     dtype: Any = jnp.bfloat16
+    stem: str = "conv"             # "s2d" = space-to-depth fast stem
 
     @staticmethod
     def from_json_dict(cfg: dict, num_classes: int) -> "RecognizerSpec":
@@ -55,6 +56,7 @@ class RecognizerSpec:
             embed_num=cfg.get("embed_num", 0) or 0,
             embed_dim=spec.get("embed_dim", 64),
             dtype=dtype,
+            stem=spec.get("stem", "conv"),
         )
 
 
@@ -75,12 +77,23 @@ class VGGEncoder(nn.Module):
         import math
 
         w_sub_blocks = int(math.log2(sp.subsampling))
+        w_done = 0
+        if sp.stem == "s2d":
+            # 2x2 space-to-depth: the widest conv level moves to half
+            # resolution (small-channel full-res convs are
+            # bandwidth-bound on TPU — same finding as the layout net's
+            # fast stem, models/parsenet.py).  Counts as one W subsample,
+            # so the frame rate (W' = W / subsampling) is unchanged.
+            from pero_ocr_tpu.models.parsenet import space_to_depth
+
+            x = space_to_depth(x, 2)
+            w_done = 1
         for i, feat in enumerate(sp.conv_features):
             x = nn.Conv(feat, (3, 3), dtype=dtype)(x)
             x = nn.relu(x)
             x = nn.Conv(feat, (3, 3), dtype=dtype)(x)
             x = nn.relu(x)
-            stride_w = 2 if i < w_sub_blocks else 1
+            stride_w = 2 if i + w_done < w_sub_blocks else 1
             x = nn.max_pool(x, (2, 2), strides=(2, stride_w), padding="SAME")
 
         # Collapse remaining height with a full-height conv.

@@ -100,6 +100,43 @@ class TestCTCRecognizer:
         logits = model.apply(params, x)
         assert logits.shape == (2, 32, 10)  # width / subsampling, classes
 
+    def test_s2d_stem_same_frame_rate(self):
+        """The fast stem must keep W' = W / subsampling (CTC frame-rate
+        contract) and train end-to-end."""
+        from pero_ocr_tpu.parallel import train as train_lib
+
+        for stem in ("conv", "s2d"):
+            spec = RecognizerSpec(
+                num_classes=8, line_height=16, conv_features=(4, 8),
+                subsampling=4, lstm_layers=1, lstm_features=8, stem=stem,
+            )
+            model = CTCRecognizer(spec)
+            x = jnp.zeros((2, 16, 64, 3), jnp.float32)
+            params = model.init(jax.random.PRNGKey(0), x)
+            out = model.apply(params, x)
+            assert out.shape == (2, 16, 8), (stem, out.shape)
+
+        spec = RecognizerSpec(
+            num_classes=8, line_height=16, conv_features=(4, 8),
+            subsampling=4, lstm_layers=1, lstm_features=8, stem="s2d",
+        )
+        model = CTCRecognizer(spec)
+        optimizer = train_lib.make_optimizer(3e-3)
+        state = train_lib.init_train_state(
+            model, optimizer, jax.random.PRNGKey(0), 16, width=64
+        )
+        step = jax.jit(train_lib.make_train_step(model, optimizer))
+        rng = np.random.default_rng(0)
+        images = jnp.asarray(rng.uniform(size=(4, 16, 64, 3)).astype(np.float32))
+        labels = jnp.asarray(rng.integers(0, 7, (4, 3)), jnp.int32)
+        lengths = jnp.full((4,), 3, jnp.int32)
+        losses = []
+        for _ in range(5):
+            state, loss = step(state, images, labels, lengths)
+            losses.append(float(loss))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
+
     def test_writer_embedding(self):
         spec = RecognizerSpec(
             num_classes=10, line_height=16, conv_features=(4, 8),
