@@ -7,6 +7,9 @@ postprocessing, structured warp, batched recognition) to the standard
 ``PageLayout`` outputs, so ``parse_folder.py --fast-pipeline`` can use
 it for CNN-layout + CTC configs.
 
+Works with CNN-layout + CTC configs AND native transformer configs (the
+AR greedy decode runs on device inside stage B).
+
 Differences from the stage-by-stage PageParser path:
 - one whole-page region per page (no paragraph clustering);
 - line crops and logits are not materialized (labels decode on device) —
@@ -45,9 +48,15 @@ class FastPagePipeline:
             raise ValueError(
                 "--fast-pipeline needs a LAYOUT_CNN stage in the config"
             )
-        if page_parser.ocr is None or not page_parser.ocr.provides_ctc_logits:
+        if page_parser.ocr is None:
             raise ValueError(
-                "--fast-pipeline needs a CTC [OCR] engine in the config"
+                "--fast-pipeline needs an [OCR] engine in the config"
+            )
+        if getattr(page_parser.ocr.ocr_engine, "_ref_mode", False):
+            raise ValueError(
+                "--fast-pipeline does not support converted reference "
+                "transformer checkpoints yet (use the stage-by-stage "
+                "path); native CTC and transformer engines both work."
             )
 
         ocr_engine = page_parser.ocr.ocr_engine

@@ -127,8 +127,17 @@ class TPUPagePipeline:
 
         pn_apply = parsenet_model.apply
         rec_apply = recognizer_model.apply
-        recognizer_num_classes = getattr(
+        # Transformer recognizers (AR decode) are detected by their
+        # decode_train entry point; CTC models run forward + greedy
+        # collapse.  Both decode fully ON DEVICE inside stage B.
+        is_transformer = hasattr(recognizer_model, "decode_train")
+        _num_classes = getattr(
             getattr(recognizer_model, "spec", None), "num_classes", 256
+        )
+        # Largest label id stage B can emit (transformer pads with the
+        # EOS id = num_classes + 1).
+        recognizer_max_label = (
+            _num_classes + 1 if is_transformer else _num_classes - 1
         )
 
         ds = downsample
@@ -251,11 +260,28 @@ class TPUPagePipeline:
             """Crops stay device-resident between the two programs.  (Kept
             as a SEPARATE program from the warp: fused into one, XLA
             re-executes the page gather inside the recognizer's conv
-            windows — a measured ~10x stage blowup on v5e.)"""
+            windows — a measured ~10x stage blowup on v5e.)
+
+            CTC: forward + on-device greedy collapse.  Transformer: the
+            whole greedy AR decode runs as one lax.scan with KV caching
+            (models/transformer.greedy_decode) — the fast path is no
+            longer CTC-only."""
+            n = crops.shape[0] // pb
+            if is_transformer:
+                from pero_ocr_tpu.models.transformer import greedy_decode
+
+                dec_len = max(8, min(
+                    crop_bucket // 4,
+                    recognizer_model.spec.max_decode_len,
+                ))
+                tokens, lengths = greedy_decode(
+                    recognizer_model, recognizer_variables,
+                    crops / 255.0, dec_len,
+                )
+                return tokens.reshape(pb, n, -1), lengths.reshape(pb, n)
             logits = rec_apply(recognizer_variables, crops / 255.0)
             valid = jnp.full((crops.shape[0],), logits.shape[1], jnp.int32)
             labels, lengths = ctc_ops.greedy_ctc_labels(logits, valid)
-            n = crops.shape[0] // pb
             return labels.reshape(pb, n, -1), lengths.reshape(pb, n)
 
         def unpack4_expr(packed_u8):
@@ -311,9 +337,10 @@ class TPUPagePipeline:
                 small_u8.astype(jnp.float32)[..., None]
             )
             labels, lengths = stage_b_crops(crops_u8, pb)
-            # Label ids fit a byte for <255-class charsets (pad -1 ->
-            # 255): quarters the label download.
-            if recognizer_num_classes <= 255:
+            # Label ids fit a byte for small-enough charsets (CTC pad -1
+            # -> 255; transformer pads with its EOS id): quarters the
+            # label download.
+            if recognizer_max_label <= 254:
                 labels = labels.astype(jnp.uint8)
             return packed, heights_q, labels, lengths
 

@@ -517,3 +517,50 @@ class TestFolderSharding:
         mod = self._load()
         with _pytest.raises(ValueError):
             mod.shard_file_lists([], [], 3, 3)
+
+
+class TestFastPipelineTransformer:
+    def test_fast_pipeline_with_transformer_engine(self, tmp_path):
+        """--fast-pipeline accepts a native transformer [OCR] config: the
+        AR greedy decode runs on-device inside stage B."""
+        from pero_ocr_tpu.document.fast_pipeline import FastPagePipeline
+
+        cfg = {
+            "characters": list("ab"),
+            "line_px_height": 16,
+            "line_vertical_scale": 1,
+            "checkpoint": "none.ckpt",
+            "net_spec": {
+                "conv_features": [4],
+                "subsampling": 2,
+                "d_model": 8,
+                "num_heads": 2,
+                "encoder_layers": 1,
+                "decoder_layers": 1,
+                "mlp_dim": 16,
+                "max_decode_len": 16,
+            },
+        }
+        p = tmp_path / "ocr_transformer.json"
+        p.write_text(json.dumps(cfg))
+
+        config = make_config(str(p))
+        config["OCR"]["METHOD"] = "pytorch_ocr-transformer"
+        config["LAYOUT_PARSER_1"] = {
+            "METHOD": "LAYOUT_CNN",
+            "DOWNSAMPLE": "4",
+            "DETECTION_THRESHOLD": "0.2",
+            "MAX_MEGAPIXELS": "5",
+            "ADAPTIVE_DOWNSAMPLE": "no",
+        }
+        del config["LAYOUT_PARSER_2"]
+        parser = PageParser(config)
+        fast = FastPagePipeline(parser, page_batch=2, line_slot=8,
+                                crop_bucket=256)
+        pages = [make_synthetic_page(width=256, height=256) for _ in range(2)]
+        layouts = list(fast.process_pages(pages, ["a", "b"]))
+        assert [l.id for l in layouts] == ["a", "b"]
+        for layout in layouts:
+            for line in layout.lines_iterator():
+                assert isinstance(line.transcription, str)
+                assert all(ch in "ab" for ch in line.transcription)

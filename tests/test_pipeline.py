@@ -341,6 +341,58 @@ class TestCropTransport:
         assert np.median(diff) <= 16, np.median(diff)
 
 
+class TestTransformerRecognizer:
+    """The device pipeline is not CTC-only: a native transformer OCR
+    model runs its greedy AR decode (one lax.scan, KV-cached) inside
+    stage B."""
+
+    def _make(self, transport):
+        from pero_ocr_tpu.models.transformer import (
+            TransformerOCR,
+            TransformerSpec,
+        )
+
+        parsenet = ParseNet(base_features=4, depth=2)
+        pn_params = parsenet.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
+        )
+        spec = TransformerSpec(
+            num_classes=6, line_height=16, conv_features=(4,),
+            subsampling=2, d_model=8, num_heads=2, encoder_layers=1,
+            decoder_layers=1, mlp_dim=16, max_decode_len=16,
+            dtype=jnp.float32,
+        )
+        model = TransformerOCR(spec)
+        params = model.init(
+            jax.random.PRNGKey(1),
+            jnp.zeros((1, 16, 64, 3), jnp.float32),
+            jnp.zeros((1, 4), jnp.int32),
+        )
+        return TPUPagePipeline(
+            parsenet, pn_params, model, params,
+            downsample=4, crop_height=16, crop_bucket=256, line_slot=8,
+            transport=transport, transport_bits=8 if transport == "page"
+            else 4,
+        )
+
+    @pytest.mark.parametrize("transport", ["page", "crops"])
+    def test_transformer_decodes_in_stage_b(self, transport):
+        pipeline = self._make(transport)
+        pages = synthetic_pages(3)
+        results = list(
+            pipeline.run(pages, lines_override=fixed_lines, page_batch=2)
+        )
+        assert [r.page_index for r in results] == [0, 1, 2]
+        for r in results:
+            assert r.labels is not None
+            assert r.label_lengths is not None
+            # Lengths bounded by the static decode cap; ids within vocab.
+            assert int(r.label_lengths.max()) <= 256 // 4
+            n = int(r.label_lengths[0])
+            assert np.all(r.labels[0][:n] >= 0)
+            assert np.all(r.labels[0][:n] < 6 + 2)
+
+
 class TestTiltFallback:
     def test_heavy_tilt_routes_to_gather_warp(self, pipeline):
         """A batch containing a line beyond the structured warp's tilt

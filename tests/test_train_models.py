@@ -160,3 +160,50 @@ class TestOrientationTraining:
             model, state.params, images, dirs, jnp.zeros_like(mask)
         ))
         assert zero == 0.0
+
+
+class TestTransformerEndToEnd:
+    def test_trained_model_greedy_decodes_targets(self):
+        """Train-to-memorize then greedy-decode: the scan-based KV-cached
+        decode must emit the training targets (closes the transformer
+        loop the reference can't test hermetically)."""
+        from pero_ocr_tpu.models.transformer import greedy_decode
+
+        spec = TransformerSpec(
+            num_classes=5, line_height=16, conv_features=(8,),
+            subsampling=2, d_model=32, num_heads=2, encoder_layers=1,
+            decoder_layers=1, mlp_dim=64, max_decode_len=8,
+            dtype=jnp.float32,
+        )
+        model = TransformerOCR(spec)
+        optimizer = train_lib.make_optimizer(3e-3)
+        state = train_lib.init_transformer_train_state(
+            model, optimizer, jax.random.PRNGKey(0), 16, width=32
+        )
+        step = jax.jit(
+            train_lib.make_transformer_train_step(model, optimizer)
+        )
+
+        # Two visually distinct images with distinct target strings.
+        images = np.zeros((2, 16, 32, 3), np.float32)
+        images[0, :, :16] = 1.0      # left-bright
+        images[1, :, 16:] = 1.0      # right-bright
+        images = jnp.asarray(images)
+        targets = jnp.asarray([[1, 2, 3], [4, 3, 1]], jnp.int32)
+        lengths = jnp.asarray([3, 3], jnp.int32)
+
+        loss = None
+        for i in range(400):
+            state, loss = step(state, images, targets, lengths)
+            if i % 25 == 0 and float(loss) < 0.01:
+                break
+        assert float(loss) < 0.5, float(loss)
+
+        tokens, out_lengths = greedy_decode(
+            model, state.params, images, max_len=8
+        )
+        tokens = np.asarray(tokens)
+        out_lengths = np.asarray(out_lengths)
+        for i in range(2):
+            got = tokens[i, : out_lengths[i]].tolist()
+            assert got == np.asarray(targets)[i].tolist(), (i, got)
