@@ -283,14 +283,15 @@ def main():
         """Substitutes ideal-detector masks at the host boundary (the
         real unpack still runs, keeping its cost in the loop)."""
 
-        def _unpack_stage_a(self, packed, heights_q):
-            super()._unpack_stage_a(packed, heights_q)
+        def _unpack_stage_a(self, packed, heights_q, sep_q):
+            real = super()._unpack_stage_a(packed, heights_q, sep_q)
             pb = packed.shape[0]
             b, c, h = ideal_cache
             return (
                 np.broadcast_to(b, (pb,) + b.shape),
                 np.broadcast_to(c, (pb,) + c.shape),
                 np.broadcast_to(h, (pb,) + h.shape),
+                real[3],   # keep the real separator map for clustering
             )
 
     ideal_cache = ideal_masks()

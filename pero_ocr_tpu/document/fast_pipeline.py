@@ -11,11 +11,15 @@ Works with CNN-layout + CTC configs AND native transformer configs (the
 AR greedy decode runs on device inside stage B).
 
 Differences from the stage-by-stage PageParser path:
-- one whole-page region per page (no paragraph clustering);
 - line crops and logits are not materialized (labels decode on device) —
   crop/logit outputs are unavailable in fast mode;
 - the ParseNet adaptive-resolution second pass is skipped (fixed
   downsample).
+
+Paragraph clustering IS preserved: the reference's separator-penalty
+clustering runs in the pipeline's host worker thread on a transported
+half-res separator map, and lines group into one region per cluster
+(alpha-shape region outlines, same helper as the engine).
 """
 
 from __future__ import annotations
@@ -95,14 +99,12 @@ class FastPagePipeline:
                 page_size=(page.shape[0], page.shape[1]),
             )
             h, w = page.shape[:2]
-            region = RegionLayout(
-                "r1", np.asarray([[0, 0], [w, 0], [w, h], [0, h]])
-            )
+
+            lines = []
             for i, (baseline, heights) in enumerate(
                 zip(result.baselines, result.heights)
             ):
                 line = TextLine(
-                    id=f"r1-l{i + 1:03d}",
                     index=i,
                     baseline=np.asarray(baseline),
                     heights=list(heights),
@@ -119,6 +121,44 @@ class FastPagePipeline:
                     )
                 else:
                     line.transcription = ""
-                region.lines.append(line)
-            layout.regions.append(region)
+                lines.append(line)
+
+            # One region per paragraph cluster (the reference's
+            # separator-penalty clustering runs in the pipeline's host
+            # worker); whole-page fallback when clustering is off.
+            clusters = result.clusters
+            if clusters is None:
+                clusters = [0] * len(lines)
+            n_regions = (max(clusters) + 1) if clusters else 1
+            for r in range(n_regions):
+                members = [
+                    ln for ln, c in zip(lines, clusters) if c == r
+                ]
+                if not members and n_regions > 1:
+                    continue
+                if members:
+                    try:
+                        # Same alpha-shape outline the stage-by-stage
+                        # engine uses (helpers.region_from_textlines).
+                        poly = helpers.region_from_textlines(
+                            [ln.polygon for ln in members]
+                        )
+                        if len(poly) < 3:
+                            raise ValueError("degenerate region")
+                    except Exception:
+                        pts = np.concatenate(
+                            [ln.polygon for ln in members]
+                        )
+                        x0, y0 = pts.min(axis=0)
+                        x1, y1 = pts.max(axis=0)
+                        poly = np.asarray(
+                            [[x0, y0], [x1, y0], [x1, y1], [x0, y1]]
+                        )
+                else:
+                    poly = np.asarray([[0, 0], [w, 0], [w, h], [0, h]])
+                region = RegionLayout(f"r{r + 1}", poly)
+                for j, ln in enumerate(members):
+                    ln.id = f"r{r + 1}-l{j + 1:03d}"
+                    region.lines.append(ln)
+                layout.regions.append(region)
             yield layout

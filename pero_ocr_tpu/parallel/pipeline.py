@@ -60,6 +60,7 @@ class PageResult:
     labels: Optional[np.ndarray]      # (N, T) packed label ids, -1 padded
     label_lengths: Optional[np.ndarray]
     crops_width: Optional[np.ndarray]
+    clusters: Optional[List[int]] = None   # paragraph id per line
 
 
 class TPUPagePipeline:
@@ -82,6 +83,8 @@ class TPUPagePipeline:
         mesh=None,
         transport_bits: int = 8,
         transport: str = "page",
+        cluster_paragraphs: bool = True,
+        paragraph_line_threshold: float = 0.3,
     ):
         """``mesh``: optional jax.sharding.Mesh with a 'dp' axis — page
         batches shard across it (page_batch must be a multiple of the dp
@@ -124,6 +127,13 @@ class TPUPagePipeline:
         self.crop_bucket = crop_bucket
         self.max_lines = max_lines
         self.line_slot = line_slot if max_lines is None else min(line_slot, max_lines)
+        self.cluster_paragraphs = cluster_paragraphs
+        if cluster_paragraphs:
+            from pero_ocr_tpu.layout_engines.cnn_engine import (
+                ParagraphClusterer,
+            )
+
+            self._clusterer = ParagraphClusterer(paragraph_line_threshold)
 
         pn_apply = parsenet_model.apply
         rec_apply = recognizer_model.apply
@@ -157,7 +167,9 @@ class TPUPagePipeline:
             def post(m):
                 return _postprocess_maps(m, detection_threshold, line_end_weight)
 
-            baselines_mask, connected, heights_map, _ = jax.vmap(post)(maps)
+            baselines_mask, connected, heights_map, separator = (
+                jax.vmap(post)(maps)
+            )
             two_bit = (
                 baselines_mask.astype(jnp.uint8)
                 + 2 * connected.astype(jnp.uint8)
@@ -182,7 +194,18 @@ class TPUPagePipeline:
             heights_q = jnp.clip(
                 jnp.round(heights_q4 * 4.0), 0, 255
             ).astype(jnp.uint8)
-            return packed, heights_q
+            # Separator map for paragraph clustering: half-res, 4-bit
+            # quantized, 2 px/byte (~143KB per 4-page batch) — the host
+            # worker thread runs the reference's separator-penalty
+            # clustering on it, fully overlapped with the link.
+            sep_half = jax.lax.reduce_window(
+                separator, 0.0, jax.lax.max, (1, 2, 2), (1, 2, 2), "VALID"
+            )
+            sep_nib = jnp.clip(
+                jnp.round(sep_half * 15.0), 0, 15
+            ).astype(jnp.uint8)
+            sep_q = (sep_nib[:, :, 0::2] << 4) | sep_nib[:, :, 1::2]
+            return packed, heights_q, sep_q
 
         @jax.jit
         def stage_a(pages_u8):
@@ -333,7 +356,7 @@ class TPUPagePipeline:
             never drops below 4-bit; only crops do at 2)."""
             if transport_bits in (2, 4):
                 small_u8 = unpack4_expr(small_u8)
-            packed, heights_q = maps_and_pack(
+            packed, heights_q, sep_q = maps_and_pack(
                 small_u8.astype(jnp.float32)[..., None]
             )
             labels, lengths = stage_b_crops(crops_u8, pb)
@@ -342,7 +365,7 @@ class TPUPagePipeline:
             # label download.
             if recognizer_max_label <= 254:
                 labels = labels.astype(jnp.uint8)
-            return packed, heights_q, labels, lengths
+            return packed, heights_q, sep_q, labels, lengths
 
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -618,9 +641,10 @@ class TPUPagePipeline:
         else:
             yield from self._run_page(pages, lines_override, page_batch)
 
-    def _unpack_stage_a(self, packed, heights_q):
+    def _unpack_stage_a(self, packed, heights_q, sep_q):
         """Host side of the stage-A artifact transport: 4x 2-bit pixels
-        per byte -> masks; quarter-res heights upsampled 4x back."""
+        per byte -> masks; quarter-res heights upsampled 4x back;
+        half-res 4-bit separator map back to float at map resolution."""
         two_bit = np.stack(
             [(packed >> (2 * i)) & 3 for i in range(4)], axis=-1
         ).reshape(packed.shape[0], packed.shape[1], packed.shape[2] * 4)
@@ -629,15 +653,24 @@ class TPUPagePipeline:
         heights_maps = (
             heights_q.astype(np.float32) / 4.0
         ).repeat(4, axis=1).repeat(4, axis=2)
-        return baselines_masks, connecteds, heights_maps
+        sep_nib = np.stack(
+            [sep_q >> 4, sep_q & 0xF], axis=-1
+        ).reshape(sep_q.shape[0], sep_q.shape[1], sep_q.shape[2] * 2)
+        sep_maps = (
+            sep_nib.astype(np.float32) / 15.0
+        ).repeat(2, axis=1).repeat(2, axis=2)
+        return baselines_masks, connecteds, heights_maps, sep_maps
 
     def _batch_lines(self, pages, ids, lines_override, masks):
         """Per-page line sets for one batch + the padded slot count.
 
         The line axis pads to the densest page in the batch, rounded up
         to a line_slot multiple (bounds distinct stage-B compile shapes;
-        no line is ever dropped)."""
-        baselines_masks, connecteds, heights_maps = masks
+        no line is ever dropped).  Each page entry is
+        (b_list, h_list, clusters): paragraph ids from the reference's
+        separator-penalty clustering over the transported separator map
+        (None when clustering is off)."""
+        baselines_masks, connecteds, heights_maps, sep_maps = masks
         page_lines = []
         for slot, i in enumerate(ids):
             if lines_override is not None:
@@ -650,13 +683,39 @@ class TPUPagePipeline:
             if self.max_lines is not None:
                 b_list = b_list[: self.max_lines]
                 h_list = h_list[: self.max_lines]
-            page_lines.append((b_list, h_list))
-        max_n = max(len(b) for b, _ in page_lines)
+            # Paragraph clustering belongs to the CNN layout parse; a
+            # classical lines_override matches the reference configs
+            # that carry no separator clustering (and on a 1-core host
+            # every worker millisecond competes with the main thread).
+            clusters = (
+                self._cluster_lines(b_list, h_list, sep_maps[slot])
+                if lines_override is None else None
+            )
+            page_lines.append((b_list, h_list, clusters))
+        max_n = max(len(b) for b, _, _ in page_lines)
         n_slot = max(
             self.line_slot,
             int(np.ceil(max_n / self.line_slot)) * self.line_slot,
         )
         return page_lines, max_n, n_slot
+
+    def _cluster_lines(self, b_list, h_list, sep_map):
+        """Paragraph ids via the layout engine's separator-penalty
+        clustering (reference: cnn_layout_engine.py:330-372), running in
+        the host worker thread on the transported separator map."""
+        if not self.cluster_paragraphs or len(b_list) == 0:
+            return None
+        from pero_ocr_tpu.layout_engines import helpers
+
+        t_list = [
+            helpers.baseline_to_textline(np.asarray(b), h)
+            for b, h in zip(b_list, h_list)
+        ]
+        clusters = self._clusterer.make_clusters(
+            [np.asarray(b) for b in b_list], h_list, t_list, sep_map,
+            self.downsample,
+        )
+        return list(np.asarray(clusters).tolist())
 
     @staticmethod
     def _drain(entry, stage_timer):
@@ -667,14 +726,17 @@ class TPUPagePipeline:
             with stage_timer("pipeline/labels_sync"):
                 labels = np.asarray(labels_dev)
                 lengths = np.asarray(lengths_dev)
-        for slot, (i, (b_list, h_list, widths)) in enumerate(
+        for slot, (i, (b_list, h_list, widths, clusters)) in enumerate(
             zip(ids_, geoms_)
         ):
             if widths is None or labels is None:
-                yield PageResult(i, b_list, h_list, None, None, None)
+                yield PageResult(
+                    i, b_list, h_list, None, None, None, clusters
+                )
             else:
                 yield PageResult(
-                    i, b_list, h_list, labels[slot], lengths[slot], widths
+                    i, b_list, h_list, labels[slot], lengths[slot], widths,
+                    clusters,
                 )
 
     def _run_page(self, pages, lines_override, page_batch):
@@ -723,21 +785,21 @@ class TPUPagePipeline:
                 pending = uploader.submit(dispatch_a, batch_idx + 1)
 
             with stage_timer("pipeline/stage_a_sync"):
-                packed, heights_q = jax.tree_util.tree_map(
+                packed, heights_q, sep_q = jax.tree_util.tree_map(
                     np.asarray, stage_a_out[batch_idx]
                 )
             with stage_timer("pipeline/host_geometry"):
                 page_lines, max_n, n_slot = self._batch_lines(
                     pages, ids, lines_override,
-                    self._unpack_stage_a(packed, heights_q),
+                    self._unpack_stage_a(packed, heights_q, sep_q),
                 )
 
             labels_dev = lengths_dev = None
             if max_n == 0:
-                geoms = [(b, h, None) for b, h in page_lines]
+                geoms = [(b, h, None, c) for b, h, c in page_lines]
             else:
                 geom3 = [
-                    self._geometry(b, h, n_slot) for b, h in page_lines
+                    self._geometry(b, h, n_slot) for b, h, _ in page_lines
                 ]
                 with stage_timer("pipeline/stage_b"):
                     zeros_b = np.zeros(
@@ -771,8 +833,8 @@ class TPUPagePipeline:
                         structured_ok=structured_ok,
                     )
                 geoms = [
-                    (b, h, g[2])
-                    for (b, h), g in zip(page_lines, geom3)
+                    (b, h, g[2], c)
+                    for (b, h, c), g in zip(page_lines, geom3)
                 ]
 
             device_pages.pop(batch_idx, None)
@@ -835,7 +897,7 @@ class TPUPagePipeline:
                     np.uint8,
                 )
                 widths_all = []
-                for slot, (b_list, h_list) in enumerate(page_lines):
+                for slot, (b_list, h_list, _) in enumerate(page_lines):
                     if b_list:
                         crop_stack[slot], w = self._host_crops(
                             grays[slot], b_list, h_list, n_slot
@@ -844,7 +906,8 @@ class TPUPagePipeline:
                     else:
                         widths_all.append(None)
             geoms = [
-                (b, h, w) for (b, h), w in zip(page_lines, widths_all)
+                (b, h, w, c)
+                for (b, h, c), w in zip(page_lines, widths_all)
             ]
             if max_n == 0:
                 return ids, geoms, None, n_slot
@@ -900,7 +963,7 @@ class TPUPagePipeline:
                 crops_dev = jnp.asarray(rec_crops)
 
             with stage_timer("pipeline/combined_dispatch"):
-                packed_m, heights_q, labels_dev, lengths_dev = (
+                packed_m, heights_q, sep_q, labels_dev, lengths_dev = (
                     self._combined_crops(small_dev, crops_dev, page_batch)
                 )
 
@@ -910,7 +973,9 @@ class TPUPagePipeline:
             entry = dispatched.pop(rec_bi, None)
             need_labels = entry is not None and entry[2]
             with stage_timer("pipeline/sync"):
-                fetch = [packed_m, heights_q] if bi < n_batches else []
+                fetch = (
+                    [packed_m, heights_q, sep_q] if bi < n_batches else []
+                )
                 if need_labels:
                     fetch += [labels_dev, lengths_dev]
                 fetched = [np.asarray(x) for x in fetch]
@@ -920,7 +985,9 @@ class TPUPagePipeline:
                 labels_np = lengths_np = None
 
             if bi < n_batches:
-                masks = self._unpack_stage_a(fetched[0], fetched[1])
+                masks = self._unpack_stage_a(
+                    fetched[0], fetched[1], fetched[2]
+                )
                 warp_futures[bi] = warper.submit(
                     geometry_and_warp, bi, grays, masks
                 )

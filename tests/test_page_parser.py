@@ -564,3 +564,34 @@ class TestFastPipelineTransformer:
             for line in layout.lines_iterator():
                 assert isinstance(line.transcription, str)
                 assert all(ch in "ab" for ch in line.transcription)
+
+
+class TestFastPipelineRegions:
+    def test_fast_pipeline_emits_cluster_regions(self, ocr_json):
+        """FastPagePipeline groups lines into one region per paragraph
+        cluster (whole-page single region only as fallback)."""
+        from pero_ocr_tpu.document.fast_pipeline import FastPagePipeline
+
+        config = make_config(ocr_json)
+        config["LAYOUT_PARSER_1"] = {
+            "METHOD": "LAYOUT_CNN",
+            "DOWNSAMPLE": "4",
+            "DETECTION_THRESHOLD": "0.2",
+            "MAX_MEGAPIXELS": "5",
+            "ADAPTIVE_DOWNSAMPLE": "no",
+        }
+        del config["LAYOUT_PARSER_2"]
+        parser = PageParser(config)
+        fast = FastPagePipeline(parser, page_batch=1, line_slot=8,
+                                crop_bucket=256)
+        pages = [make_synthetic_page(width=256, height=256)]
+        (layout,) = list(fast.process_pages(pages, ["p"]))
+        # Region ids well-formed, every line assigned exactly once.
+        ids = [r.id for r in layout.regions]
+        assert ids == [f"r{i + 1}" for i in range(len(ids))]
+        all_lines = [l.id for l in layout.lines_iterator()]
+        assert len(all_lines) == len(set(all_lines))
+        for region in layout.regions:
+            assert len(region.polygon) >= 3 or len(region.lines) == 0
+        xml = layout.to_pagexml_string()
+        assert "PcGts" in xml

@@ -507,3 +507,74 @@ class TestTransport4Bit:
         with pytest.raises(ValueError):
             TPUPagePipeline(parsenet, pn_params, recognizer, rec_params,
                             transport_bits=5)
+
+
+class TestParagraphClustering:
+    """The fast path runs the reference's separator-penalty paragraph
+    clustering on the transported half-res 4-bit separator map (in the
+    host worker thread)."""
+
+    def test_separator_splits_clusters(self):
+        """Two stacked lines WITHOUT a separator cluster together; with a
+        strong separator between them they split."""
+        pipeline = _tiny_pipeline()
+        bl = [
+            np.array([[20.0, 40.0], [220.0, 40.0]]),
+            np.array([[20.0, 80.0], [220.0, 80.0]]),
+        ]
+        hh = [[12.0, 4.0], [12.0, 4.0]]
+
+        sep_clear = np.zeros((64, 64), np.float32)
+        clusters = pipeline._cluster_lines(bl, hh, sep_clear)
+        assert clusters == [0, 0]
+
+        sep_wall = np.zeros((64, 64), np.float32)
+        sep_wall[14:17, :] = 1.0   # separator row between y=40/4 and 80/4
+        clusters = pipeline._cluster_lines(bl, hh, sep_wall)
+        assert clusters is not None
+        assert clusters[0] != clusters[1]
+
+    def test_override_lines_skip_clustering(self):
+        """Classical lines_override matches reference configs without
+        separator clustering -> clusters stay None."""
+        pipeline = _tiny_pipeline()
+        results = list(pipeline.run(
+            synthetic_pages(2), lines_override=fixed_lines, page_batch=2
+        ))
+        for r in results:
+            assert r.clusters is None
+
+    def test_cnn_lines_carry_cluster_ids(self):
+        """CNN-detected lines get paragraph ids (whatever the
+        random-weight net detects, ids must align with baselines)."""
+        pipeline = _tiny_pipeline()
+        results = list(pipeline.run(synthetic_pages(2), page_batch=2))
+        for r in results:
+            if r.baselines:
+                assert r.clusters is not None
+                assert len(r.clusters) == len(r.baselines)
+
+    def test_clustering_off(self):
+        pipeline = _tiny_pipeline(cluster_paragraphs=False)
+        results = list(pipeline.run(synthetic_pages(2), page_batch=2))
+        for r in results:
+            assert r.clusters is None
+
+
+def _tiny_pipeline(**kw):
+    parsenet = ParseNet(base_features=4, depth=2)
+    pn_params = parsenet.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
+    )
+    spec = RecognizerSpec(
+        num_classes=8, line_height=16, conv_features=(4, 8),
+        subsampling=2, lstm_layers=1, lstm_features=8,
+    )
+    recognizer = CTCRecognizer(spec)
+    rec_params = recognizer.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 64, 3), jnp.float32)
+    )
+    return TPUPagePipeline(
+        parsenet, pn_params, recognizer, rec_params,
+        downsample=4, crop_height=16, crop_bucket=256, line_slot=8, **kw
+    )
