@@ -138,3 +138,51 @@ class TestBaselineOps:
         heights = line_geometry.guess_heights_from_polygon(baseline, polygon)
         assert heights[0] == pytest.approx(30, abs=2)
         assert heights[1] == pytest.approx(10, abs=2)
+
+
+class TestPolygonDistance:
+    def test_matches_pointwise_for_squares(self):
+        from pero_ocr_tpu.core import geometry
+
+        sq = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], float)
+        assert geometry.polygon_min_distance(sq, sq + [20, 0]) == pytest.approx(10.0)
+        assert geometry.polygon_min_distance(sq, sq + [15, 15]) == pytest.approx(
+            np.hypot(5, 5)
+        )
+        # Overlapping boundaries -> 0.
+        assert geometry.polygon_min_distance(sq, sq + [5, 0]) == 0.0
+
+    def test_batch_matches_scalar(self):
+        from pero_ocr_tpu.core import geometry
+
+        rng = np.random.default_rng(0)
+        polys = [
+            rng.uniform(0, 100, (int(n), 2))
+            for n in rng.integers(3, 9, size=6)
+        ]
+        pairs = np.array([[0, 1], [2, 3], [4, 5], [0, 5]])
+        batch = geometry.polygon_min_distance_batch(polys, pairs)
+        for (i, j), d in zip(pairs, batch):
+            assert d == pytest.approx(
+                geometry.polygon_min_distance(polys[i], polys[j]), abs=1e-9
+            )
+
+
+class TestSeparatorPenalty:
+    def test_penalty_reads_band_mass(self):
+        """The vectorized penalty equals mean separator mass along the
+        3-row band of the shifted baseline."""
+        from pero_ocr_tpu.layout_engines.cnn_engine import ParagraphClusterer
+
+        cl = ParagraphClusterer(0.3)
+        sep = np.zeros((40, 100), np.float32)
+        sep[19:22, :] = 1.0   # full-width wall rows 19..21
+        baseline = np.array([[10.0, 15.0], [90.0, 15.0]])
+        # shift +5 -> band rows 19,20,21 exactly on the wall.
+        p = cl.get_penalty(baseline, 5, 10, 90, sep)
+        assert p == pytest.approx(3.0, rel=0.05)   # 3 rows of mass 1
+        # shift 0 -> band rows 14..16, empty.
+        assert cl.get_penalty(baseline, 0, 10, 90, sep) == pytest.approx(0.0)
+        # columns outside the baseline span contribute nothing.
+        p_wide = cl.get_penalty(baseline, 5, 0, 100, sep)
+        assert p_wide < p
