@@ -154,11 +154,12 @@ class TPUPagePipeline:
 
         def maps_and_pack(small):
             """small: (PB, h64, w64, 1) float gray in [0, 255] at 1/ds
-            resolution -> packed masks + quantized heights.
+            resolution -> packed masks + quantized heights + separator.
 
-            Downloads are minimized: both masks bit-pack 4 px/byte and
-            heights quantize to half-res uint8 quarter-pixels — ~0.2MB per
-            page instead of the 5.7MB raw float maps."""
+            Downloads are minimized: masks bit-pack 4 px/byte, heights
+            quantize to quarter-res uint8 quarter-pixels, the separator
+            map travels half-res 4-bit — ~0.13MB per page instead of the
+            5.7MB raw float maps."""
             images = jnp.broadcast_to(
                 small / 255.0, small.shape[:3] + (3,)
             )
@@ -949,7 +950,7 @@ class TPUPagePipeline:
             fut = warp_futures.pop(rec_bi, None)
             if fut is not None:
                 with stage_timer("pipeline/warp_wait"):
-                    rec_ids, rec_geoms, rec_crops, rec_slot = fut.result()
+                    rec_ids, rec_geoms, rec_crops, _ = fut.result()
                 dispatched[rec_bi] = (rec_ids, rec_geoms,
                                       rec_crops is not None)
             else:
