@@ -119,6 +119,13 @@ class FastPagePipeline:
                         for c in result.labels[i, :n]
                         if 0 <= c < len(self.characters)
                     )
+                    if result.confidences is not None:
+                        # Worst-run greedy probability (the reference's
+                        # get_prob measure), computed on device — lands
+                        # in Page XML as the line conf attribute.
+                        line.transcription_confidence = float(
+                            result.confidences[i]
+                        )
                 else:
                     line.transcription = ""
                 lines.append(line)

@@ -51,6 +51,50 @@ def greedy_ctc_labels(logits: jnp.ndarray, valid_frames: jnp.ndarray):
     return packed.astype(jnp.int32), lengths.astype(jnp.int32)
 
 
+def greedy_worst_run_confidence(
+    logits: jnp.ndarray, valid_frames: jnp.ndarray
+) -> jnp.ndarray:
+    """Per-line confidence = the WORST per-run best probability over the
+    greedy argmax runs (the reference's get_prob semantics,
+    reference: pero_ocr/document_ocr/page_parser.py:437-450: consecutive
+    equal argmax ids form a run, each run scores its max frame
+    probability, the line scores the min over runs — blank runs
+    included).  Fully in-graph so the serving pipeline downloads one
+    float per line instead of the logits.
+
+    Args:
+        logits: (B, T, C) raw logits.
+        valid_frames: (B,) frames per line.
+
+    Returns (B,) float32 confidences in [0, 1]."""
+    b, t, c = logits.shape
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    best_lp = jnp.max(logp, axis=-1)            # (B, T)
+    best_id = jnp.argmax(logits, axis=-1)       # (B, T)
+    frame_idx = jnp.arange(t)[None, :]
+    valid = frame_idx < valid_frames[:, None]
+
+    prev = jnp.concatenate(
+        [jnp.full((b, 1), -1, best_id.dtype), best_id[:, :-1]], axis=1
+    )
+    run_id = jnp.cumsum(best_id != prev, axis=1) - 1   # (B, T) 0-based
+
+    def per_line(lp, rid, v):
+        seg_max = jax.ops.segment_max(
+            jnp.where(v, lp, -jnp.inf), rid, num_segments=t
+        )
+        seg_seen = (
+            jax.ops.segment_max(v.astype(jnp.int32), rid, num_segments=t)
+            > 0
+        )
+        worst = jnp.min(jnp.where(seg_seen, seg_max, jnp.inf))
+        # Empty line (no valid frames) -> confidence 1.0 like an
+        # unexamined line.
+        return jnp.where(jnp.isfinite(worst), jnp.exp(worst), 1.0)
+
+    return jax.vmap(per_line)(best_lp, run_id, valid).astype(jnp.float32)
+
+
 def labels_to_strings(
     packed: np.ndarray, lengths: np.ndarray, characters: List[str]
 ) -> List[str]:

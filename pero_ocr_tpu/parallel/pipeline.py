@@ -61,6 +61,7 @@ class PageResult:
     label_lengths: Optional[np.ndarray]
     crops_width: Optional[np.ndarray]
     clusters: Optional[List[int]] = None   # paragraph id per line
+    confidences: Optional[np.ndarray] = None  # (N,) worst-run prob per line
 
 
 class TPUPagePipeline:
@@ -302,11 +303,18 @@ class TPUPagePipeline:
                     recognizer_model, recognizer_variables,
                     crops / 255.0, dec_len,
                 )
-                return tokens.reshape(pb, n, -1), lengths.reshape(pb, n)
+                # AR decode exposes no per-frame posteriors here; the
+                # host reports no confidence for transformer fast mode.
+                confs = jnp.ones((pb, n), jnp.float32)
+                return tokens.reshape(pb, n, -1), lengths.reshape(pb, n), confs
             logits = rec_apply(recognizer_variables, crops / 255.0)
             valid = jnp.full((crops.shape[0],), logits.shape[1], jnp.int32)
             labels, lengths = ctc_ops.greedy_ctc_labels(logits, valid)
-            return labels.reshape(pb, n, -1), lengths.reshape(pb, n)
+            # One float per line replaces the logits download for the
+            # reference's confidence observability (get_prob semantics).
+            confs = ctc_ops.greedy_worst_run_confidence(logits, valid)
+            return (labels.reshape(pb, n, -1), lengths.reshape(pb, n),
+                    confs.reshape(pb, n))
 
         def unpack4_expr(packed_u8):
             """(..., H, W/2) nibble pairs -> (..., H, W) uint8 (inline
@@ -342,7 +350,7 @@ class TPUPagePipeline:
                 crops_u8[..., None].astype(jnp.float32),
                 crops_u8.shape + (3,),
             )
-            return stage_b_recognize(crops3, pb)
+            return stage_b_recognize(crops3, pb)  # (labels, lengths, confs)
 
         def combined_crops(small_u8, crops_u8, pb: int):
             """ONE program per batch for the crop transport: stage A of
@@ -360,13 +368,13 @@ class TPUPagePipeline:
             packed, heights_q, sep_q = maps_and_pack(
                 small_u8.astype(jnp.float32)[..., None]
             )
-            labels, lengths = stage_b_crops(crops_u8, pb)
+            labels, lengths, confs = stage_b_crops(crops_u8, pb)
             # Label ids fit a byte for small-enough charsets (CTC pad -1
             # -> 255; transformer pads with its EOS id): quarters the
             # label download.
             if recognizer_max_label <= 254:
                 labels = labels.astype(jnp.uint8)
-            return packed, heights_q, sep_q, labels, lengths
+            return packed, heights_q, sep_q, labels, lengths, confs
 
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -417,6 +425,8 @@ class TPUPagePipeline:
             )
             crops = warp(pages_u8, baselines, heights)
             return self._stage_b_recognize(crops, baselines.shape[0])
+
+        self._has_confidence = not is_transformer
 
         self._stage_b = stage_b
 
@@ -718,15 +728,19 @@ class TPUPagePipeline:
         )
         return list(np.asarray(clusters).tolist())
 
-    @staticmethod
-    def _drain(entry, stage_timer):
-        ids_, geoms_, labels_dev, lengths_dev = entry
+    def _drain(self, entry, stage_timer):
+        ids_, geoms_, labels_dev, lengths_dev, confs_dev = entry
         if labels_dev is None:
-            labels = lengths = None
+            labels = lengths = confs = None
         else:
             with stage_timer("pipeline/labels_sync"):
                 labels = np.asarray(labels_dev)
                 lengths = np.asarray(lengths_dev)
+                confs = (
+                    np.asarray(confs_dev)
+                    if confs_dev is not None and self._has_confidence
+                    else None
+                )
         for slot, (i, (b_list, h_list, widths, clusters)) in enumerate(
             zip(ids_, geoms_)
         ):
@@ -738,6 +752,7 @@ class TPUPagePipeline:
                 yield PageResult(
                     i, b_list, h_list, labels[slot], lengths[slot], widths,
                     clusters,
+                    confs[slot] if confs is not None else None,
                 )
 
     def _run_page(self, pages, lines_override, page_batch):
@@ -777,7 +792,7 @@ class TPUPagePipeline:
         # Stage-B fetches trail one batch behind their dispatch: batch
         # i-1's labels download while batch i dispatches and batch i+1's
         # stage A is in flight.
-        inflight = None  # (ids, geoms, labels_dev, lengths_dev)
+        inflight = None  # (ids, geoms, labels_dev, lengths_dev, confs_dev)
 
         for batch_idx, ids in enumerate(batches):
             with stage_timer("pipeline/upload+dispatch_a"):
@@ -795,7 +810,7 @@ class TPUPagePipeline:
                     self._unpack_stage_a(packed, heights_q, sep_q),
                 )
 
-            labels_dev = lengths_dev = None
+            labels_dev = lengths_dev = confs_dev = None
             if max_n == 0:
                 geoms = [(b, h, None, c) for b, h, c in page_lines]
             else:
@@ -828,7 +843,7 @@ class TPUPagePipeline:
                             hh.reshape(-1, 2), self.crop_height, flat
                         ).all()
                     )
-                    labels_dev, lengths_dev = self._stage_b(
+                    labels_dev, lengths_dev, confs_dev = self._stage_b(
                         device_pages[batch_idx],
                         jnp.asarray(bl), jnp.asarray(hh),
                         structured_ok=structured_ok,
@@ -843,7 +858,7 @@ class TPUPagePipeline:
 
             if inflight is not None:
                 yield from self._drain(inflight, stage_timer)
-            inflight = (ids, geoms, labels_dev, lengths_dev)
+            inflight = (ids, geoms, labels_dev, lengths_dev, confs_dev)
 
         if inflight is not None:
             yield from self._drain(inflight, stage_timer)
@@ -964,7 +979,8 @@ class TPUPagePipeline:
                 crops_dev = jnp.asarray(rec_crops)
 
             with stage_timer("pipeline/combined_dispatch"):
-                packed_m, heights_q, sep_q, labels_dev, lengths_dev = (
+                (packed_m, heights_q, sep_q, labels_dev, lengths_dev,
+                 confs_dev) = (
                     self._combined_crops(small_dev, crops_dev, page_batch)
                 )
 
@@ -978,12 +994,12 @@ class TPUPagePipeline:
                     [packed_m, heights_q, sep_q] if bi < n_batches else []
                 )
                 if need_labels:
-                    fetch += [labels_dev, lengths_dev]
+                    fetch += [labels_dev, lengths_dev, confs_dev]
                 fetched = [np.asarray(x) for x in fetch]
             if need_labels:
-                labels_np, lengths_np = fetched[-2], fetched[-1]
+                labels_np, lengths_np, confs_np = fetched[-3:]
             else:
-                labels_np = lengths_np = None
+                labels_np = lengths_np = confs_np = None
 
             if bi < n_batches:
                 masks = self._unpack_stage_a(
@@ -995,6 +1011,6 @@ class TPUPagePipeline:
 
             if entry is not None:
                 yield from self._drain(
-                    (entry[0], entry[1], labels_np, lengths_np),
+                    (entry[0], entry[1], labels_np, lengths_np, confs_np),
                     stage_timer,
                 )

@@ -199,3 +199,39 @@ class TestMorphology:
         labels, num = morphology.connected_components(mask)
         assert num == 2
         assert labels[1, 1] != labels[7, 7]
+
+
+class TestGreedyWorstRunConfidence:
+    def test_matches_host_get_prob(self):
+        """In-graph confidence equals the host get_prob on softmaxed
+        greedy runs (reference: page_parser.py:437-450)."""
+        import jax.numpy as jnp
+
+        from pero_ocr_tpu.document.page_parser import get_prob
+        from pero_ocr_tpu.ops.ctc import greedy_worst_run_confidence
+        from pero_ocr_tpu.ocr.softmax import softmax
+
+        rng = np.random.default_rng(0)
+        logits = rng.normal(size=(3, 17, 6)).astype(np.float32) * 3
+        valid = np.array([17, 11, 5], np.int32)
+
+        got = np.asarray(greedy_worst_run_confidence(
+            jnp.asarray(logits), jnp.asarray(valid)
+        ))
+        for i in range(3):
+            probs = softmax(logits[i, : valid[i]], axis=-1)
+            best_ids = probs.argmax(-1)
+            best_probs = probs.max(-1)
+            ref = get_prob(best_ids, best_probs)
+            assert got[i] == pytest.approx(ref, abs=1e-5), i
+
+    def test_empty_line_is_confident(self):
+        import jax.numpy as jnp
+
+        from pero_ocr_tpu.ops.ctc import greedy_worst_run_confidence
+
+        logits = np.zeros((1, 8, 4), np.float32)
+        out = np.asarray(greedy_worst_run_confidence(
+            jnp.asarray(logits), jnp.asarray([0], np.int32)
+        ))
+        assert out[0] == 1.0

@@ -593,5 +593,10 @@ class TestFastPipelineRegions:
         assert len(all_lines) == len(set(all_lines))
         for region in layout.regions:
             assert len(region.polygon) >= 3 or len(region.lines) == 0
+        # CTC fast mode carries on-device line confidences into the XML.
+        for line in layout.lines_iterator():
+            if line.transcription:
+                assert line.transcription_confidence is not None
+                assert 0.0 <= line.transcription_confidence <= 1.0
         xml = layout.to_pagexml_string()
         assert "PcGts" in xml

@@ -578,3 +578,47 @@ def _tiny_pipeline(**kw):
         parsenet, pn_params, recognizer, rec_params,
         downsample=4, crop_height=16, crop_bucket=256, line_slot=8, **kw
     )
+
+
+class TestLineConfidence:
+    def test_ctc_results_carry_confidence(self, pipeline):
+        results = list(pipeline.run(
+            synthetic_pages(2), lines_override=fixed_lines, page_batch=2
+        ))
+        for r in results:
+            assert r.confidences is not None
+            assert r.confidences.shape[0] >= len(r.baselines)
+            assert np.all((r.confidences >= 0) & (r.confidences <= 1))
+
+    def test_transformer_results_have_no_confidence(self):
+        from pero_ocr_tpu.models.transformer import (
+            TransformerOCR,
+            TransformerSpec,
+        )
+
+        parsenet = ParseNet(base_features=4, depth=2)
+        pn_params = parsenet.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
+        )
+        spec = TransformerSpec(
+            num_classes=6, line_height=16, conv_features=(4,),
+            subsampling=2, d_model=8, num_heads=2, encoder_layers=1,
+            decoder_layers=1, mlp_dim=16, max_decode_len=16,
+            dtype=jnp.float32,
+        )
+        model = TransformerOCR(spec)
+        params = model.init(
+            jax.random.PRNGKey(1),
+            jnp.zeros((1, 16, 64, 3), jnp.float32),
+            jnp.zeros((1, 4), jnp.int32),
+        )
+        p = TPUPagePipeline(
+            parsenet, pn_params, model, params,
+            downsample=4, crop_height=16, crop_bucket=256, line_slot=8,
+            transport="crops", transport_bits=4,
+        )
+        results = list(p.run(
+            synthetic_pages(2), lines_override=fixed_lines, page_batch=2
+        ))
+        for r in results:
+            assert r.confidences is None
