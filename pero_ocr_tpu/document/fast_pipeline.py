@@ -120,9 +120,11 @@ class FastPagePipeline:
                         if 0 <= c < len(self.characters)
                     )
                     if result.confidences is not None:
-                        # Worst-run greedy probability (the reference's
-                        # get_prob measure), computed on device — lands
-                        # in Page XML as the line conf attribute.
+                        # Computed on device: worst-run greedy
+                        # probability for CTC (the reference's get_prob
+                        # measure), min chosen-token probability for the
+                        # transformer — lands in Page XML as the line
+                        # conf attribute.
                         line.transcription_confidence = float(
                             result.confidences[i]
                         )

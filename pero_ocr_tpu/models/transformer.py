@@ -247,14 +247,18 @@ def greedy_decode(
     images: jnp.ndarray,
     max_len: int,
     src_valid=None,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Jit-friendly greedy AR decode with alive masking.
 
-    Returns (tokens (N, max_len), lengths (N,)).  Dead (EOS'd) lines emit
-    EOS; the loop is a fixed-length scan (early exit happens at the XLA
-    level only through the alive mask zeroing work, matching the
-    reference's alive-mask loop semantics,
-    reference: transformer_ocr_engine.py:56-81)."""
+    Returns (tokens (N, max_len), lengths (N,), confidences (N,)).
+    Dead (EOS'd) lines emit EOS; the loop is a fixed-length scan (early
+    exit happens at the XLA level only through the alive mask zeroing
+    work, matching the reference's alive-mask loop semantics,
+    reference: transformer_ocr_engine.py:56-81).  ``confidences`` is the
+    minimum chosen-token probability over the emitted characters (the
+    transformer analog of the CTC worst-run get_prob measure; the
+    reference's transformer confidence likewise reads the probability
+    at the label, confidence_estimation.py:107-110)."""
     sp = model.spec
     n = images.shape[0]
 
@@ -282,12 +286,22 @@ def greedy_decode(
             mutable=["cache"],
         )
         next_token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        chosen_lp = jnp.max(jax.nn.log_softmax(logits, axis=-1), axis=-1)
         next_token = jnp.where(alive, next_token, sp.eos_id)
+        # Dead lines contribute nothing to the confidence minimum.
+        chosen_lp = jnp.where(alive, chosen_lp, 0.0)
         alive = alive & (next_token != sp.eos_id)
-        return (next_token, new_vars["cache"], alive), next_token
+        return (next_token, new_vars["cache"], alive), (
+            next_token, chosen_lp
+        )
 
     init = (dummy_token, cache_vars["cache"], jnp.ones((n,), bool))
-    _, tokens = jax.lax.scan(step, init, jnp.arange(max_len))
-    tokens = tokens.T  # (N, max_len)
+    _, (tokens, step_lp) = jax.lax.scan(step, init, jnp.arange(max_len))
+    tokens = tokens.T          # (N, max_len)
+    step_lp = step_lp.T        # (N, max_len)
     lengths = jnp.sum(tokens != sp.eos_id, axis=1)
-    return tokens, lengths
+    emitted = jnp.arange(max_len)[None, :] < lengths[:, None]
+    confidences = jnp.exp(
+        jnp.min(jnp.where(emitted, step_lp, 0.0), axis=1)
+    ).astype(jnp.float32)
+    return tokens, lengths, confidences

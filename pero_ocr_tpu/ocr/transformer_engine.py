@@ -120,7 +120,7 @@ class TransformerEngineLineOCR(BaseEngineLineOCR):
         @jax.jit
         def run(batch):
             images = batch.astype(jnp.float32) / 255.0
-            tokens, lengths = greedy_decode(
+            tokens, lengths, _ = greedy_decode(
                 self.model, self.variables, images, max_len
             )
             # Per-step logits for confidence: re-run teacher-forced with the

@@ -299,14 +299,12 @@ class TPUPagePipeline:
                     crop_bucket // 4,
                     recognizer_model.spec.max_decode_len,
                 ))
-                tokens, lengths = greedy_decode(
+                tokens, lengths, confs = greedy_decode(
                     recognizer_model, recognizer_variables,
                     crops / 255.0, dec_len,
                 )
-                # AR decode exposes no per-frame posteriors here; the
-                # host reports no confidence for transformer fast mode.
-                confs = jnp.ones((pb, n), jnp.float32)
-                return tokens.reshape(pb, n, -1), lengths.reshape(pb, n), confs
+                return (tokens.reshape(pb, n, -1), lengths.reshape(pb, n),
+                        confs.reshape(pb, n))
             logits = rec_apply(recognizer_variables, crops / 255.0)
             valid = jnp.full((crops.shape[0],), logits.shape[1], jnp.int32)
             labels, lengths = ctc_ops.greedy_ctc_labels(logits, valid)
@@ -426,7 +424,7 @@ class TPUPagePipeline:
             crops = warp(pages_u8, baselines, heights)
             return self._stage_b_recognize(crops, baselines.shape[0])
 
-        self._has_confidence = not is_transformer
+        self._has_confidence = True
 
         self._stage_b = stage_b
 

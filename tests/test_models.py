@@ -178,9 +178,12 @@ class TestTransformerOCR:
         targets = jnp.zeros((2, 5), jnp.int32)
         params = model.init(jax.random.PRNGKey(0), x, targets)
 
-        tokens, lengths = greedy_decode(model, params, x, max_len=6)
+        tokens, lengths, confs = greedy_decode(model, params, x, max_len=6)
         tokens = np.asarray(tokens)
         assert tokens.shape == (2, 6)
+        confs = np.asarray(confs)
+        assert confs.shape == (2,)
+        assert np.all((confs >= 0) & (confs <= 1))
 
         # Replay through teacher forcing: feeding BOS + decoded tokens must
         # produce the same argmax sequence (up to EOS).

@@ -590,7 +590,7 @@ class TestLineConfidence:
             assert r.confidences.shape[0] >= len(r.baselines)
             assert np.all((r.confidences >= 0) & (r.confidences <= 1))
 
-    def test_transformer_results_have_no_confidence(self):
+    def test_transformer_results_carry_confidence(self):
         from pero_ocr_tpu.models.transformer import (
             TransformerOCR,
             TransformerSpec,
@@ -621,4 +621,6 @@ class TestLineConfidence:
             synthetic_pages(2), lines_override=fixed_lines, page_batch=2
         ))
         for r in results:
-            assert r.confidences is None
+            # Min chosen-token probability over emitted chars, on device.
+            assert r.confidences is not None
+            assert np.all((r.confidences >= 0) & (r.confidences <= 1))

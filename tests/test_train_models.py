@@ -199,7 +199,7 @@ class TestTransformerEndToEnd:
                 break
         assert float(loss) < 0.5, float(loss)
 
-        tokens, out_lengths = greedy_decode(
+        tokens, out_lengths, confs = greedy_decode(
             model, state.params, images, max_len=8
         )
         tokens = np.asarray(tokens)
