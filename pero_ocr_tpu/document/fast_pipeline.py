@@ -7,12 +7,16 @@ postprocessing, structured warp, batched recognition) to the standard
 ``PageLayout`` outputs, so ``parse_folder.py --fast-pipeline`` can use
 it for CNN-layout + CTC configs.
 
-Works with CNN-layout + CTC configs AND native transformer configs (the
-AR greedy decode runs on device inside stage B).
+Works with CNN-layout + CTC configs, native transformer configs, AND
+converted reference transformer checkpoints (both AR greedy decodes run
+on device inside stage B as one lax.scan).
 
 Differences from the stage-by-stage PageParser path:
-- line crops and logits are not materialized (labels decode on device) —
-  crop/logit outputs are unavailable in fast mode;
+- labels decode on device; logits are only materialized on request
+  (``want_logits=True`` downloads top-k sparse logits per line and
+  rebuilds the reference's csc record — unlocking logits pickles, forced
+  alignment, and ALTO at fast-path throughput), and line crops only with
+  ``want_crops=True`` (host re-warp);
 - the ParseNet adaptive-resolution second pass is skipped (fixed
   downsample).
 
@@ -37,7 +41,9 @@ class FastPagePipeline:
 
     def __init__(self, page_parser, page_batch: int = 4, max_lines=None,
                  line_slot: int = 32, crop_bucket: int = 2048, mesh=None,
-                 transport_bits: int = 4, transport: str = "page"):
+                 transport_bits: int = 4, transport: str = "page",
+                 want_logits: bool = False, want_crops: bool = False,
+                 logits_topk: int = 8):
         from pero_ocr_tpu.document.page_parser import LayoutExtractor
         from pero_ocr_tpu.parallel.pipeline import TPUPagePipeline
 
@@ -56,18 +62,26 @@ class FastPagePipeline:
             raise ValueError(
                 "--fast-pipeline needs an [OCR] engine in the config"
             )
-        if getattr(page_parser.ocr.ocr_engine, "_ref_mode", False):
-            raise ValueError(
-                "--fast-pipeline does not support converted reference "
-                "transformer checkpoints yet (use the stage-by-stage "
-                "path); native CTC and transformer engines both work."
-            )
-
         ocr_engine = page_parser.ocr.ocr_engine
         self.characters = list(ocr_engine.characters)
+        # Converted reference transformer checkpoints append two special
+        # symbols (U+200B boundary + ignore) that must not reach the
+        # transcription text (reference:
+        # pero_ocr/ocr_engine/transformer_ocr_engine.py:94-105).
+        self._n_emit = (
+            len(self.characters) - 2
+            if getattr(ocr_engine, "_ref_mode", False)
+            else len(self.characters)
+        )
         cropper = page_parser.line_cropper.crop_engine
         self.line_scale = cropper.scale
         self.page_batch = page_batch
+        self.want_logits = want_logits
+        self.want_crops = want_crops
+        # Frame subsampling for fast-path logit_coords: crops sit at
+        # column 0 (no 32px margin), so coords are [0, w // subsampling]
+        # (stage-by-stage analog: ocr/line_ocr_engine.py:222-227).
+        self.net_subsampling = int(getattr(ocr_engine, "net_subsampling", 4))
 
         parsenet_wrapper = extractor.engine.parsenet
         self.pipeline = TPUPagePipeline(
@@ -86,7 +100,32 @@ class FastPagePipeline:
             mesh=mesh,
             transport_bits=transport_bits,
             transport=transport,
+            want_logits=want_logits,
+            logits_topk=logits_topk,
         )
+
+    def _attach_logits(self, line, result, i):
+        """Rebuild the reference's sparse logits record from the
+        downloaded top-k: a (T, C) float32 csc_matrix plus charset and
+        fast-path logit_coords (crops sit at column 0, so the valid span
+        is [0, width // subsampling]; stage-by-stage analog:
+        ocr/line_ocr_engine.py:222-227)."""
+        from scipy import sparse
+
+        vals = result.logits_vals[i].astype(np.float32)  # (T, K)
+        idx = result.logits_idx[i].astype(np.int64)
+        t, k = vals.shape
+        c = len(self.characters)
+        rows = np.repeat(np.arange(t), k)
+        line.logits = sparse.coo_matrix(
+            (vals.ravel(), (rows, idx.ravel())), shape=(t, c)
+        ).tocsc()
+        line.characters = list(self.characters)
+        w = (
+            int(result.crops_width[i])
+            if result.crops_width is not None else 0
+        )
+        line.logit_coords = [0, min(t, w // self.net_subsampling)]
 
     def process_pages(
         self, pages: Iterable[np.ndarray], page_ids: List[str]
@@ -99,6 +138,7 @@ class FastPagePipeline:
                 page_size=(page.shape[0], page.shape[1]),
             )
             h, w = page.shape[:2]
+            gray = self.pipeline._gray(page) if self.want_crops else None
 
             lines = []
             for i, (baseline, heights) in enumerate(
@@ -112,13 +152,22 @@ class FastPagePipeline:
                         np.asarray(baseline), heights
                     ),
                 )
+                if gray is not None:
+                    # Same host warp the crop transport ships; 3-channel
+                    # for the crop-output/LMDB writers.
+                    crop = self.pipeline._host_crop_line(
+                        gray, np.asarray(baseline), heights
+                    )
+                    line.crop = np.repeat(crop[:, :, None], 3, axis=2)
                 if result.labels is not None and i < result.labels.shape[0]:
                     n = int(result.label_lengths[i])
                     line.transcription = "".join(
                         self.characters[c]
                         for c in result.labels[i, :n]
-                        if 0 <= c < len(self.characters)
+                        if 0 <= c < self._n_emit
                     )
+                    if result.logits_vals is not None:
+                        self._attach_logits(line, result, i)
                     if result.confidences is not None:
                         # Computed on device: worst-run greedy
                         # probability for CTC (the reference's get_prob

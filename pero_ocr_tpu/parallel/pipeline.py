@@ -21,11 +21,17 @@ packed two 4-bit pixels per byte — ``transport_bits=4``):
 full pages never travel.  Stage A consumes a HOST-downsampled 1/4-res
 page; the host warps line crops itself (cv2.remap over the measured
 warp field — ~2.5ms for 40 lines, vs ~30ms to push the full page
-through a 25MB/s link) and uploads only the packed crops (~0.7MB/page
-total vs ~2.3MB) for the recognizer.  Measured on the v5e tunnel
-(scripts/microbench_tunnel.py): zero padding compresses in transport
-(~142MB/s vs ~55MB/s for entropy-dense bytes), so bucket padding is
-nearly free.
+through a 25MB/s link) and uploads only the packed crops for the
+recognizer.  By default (``trim_crops=True``) the crops travel
+WIDTH-TRIMMED: every line's valid columns concatenate into one
+width-major strip ``(W, Hc)`` (bit-packed along the height axis) plus
+per-line int32 offsets/widths, and the device rebuilds the bucketed
+crop tensor with a vmapped ``dynamic_slice`` — no ``n_slot x
+crop_bucket`` zero padding ever crosses the link.  The strip width
+quantizes to a coarse ladder to bound compiles.  ``trim_crops=False``
+keeps the dense zero-padded buffer (zero padding partially compresses
+in transport — ~142MB/s vs ~55MB/s entropy-dense — but the trimmed
+strip still ships strictly fewer bytes).
 
 Batches overlap several ways: the NEXT batch's image prep runs on a
 worker thread; in crop transport the host geometry parse + warp of
@@ -62,6 +68,12 @@ class PageResult:
     crops_width: Optional[np.ndarray]
     clusters: Optional[List[int]] = None   # paragraph id per line
     confidences: Optional[np.ndarray] = None  # (N,) worst-run prob per line
+    # Optional top-k sparse logits (want_logits=True): (N, T, K) float16
+    # values + (N, T, K) uint16 class indices — the device-side
+    # equivalent of the reference's p<1e-4 sparsification
+    # (reference: pero_ocr/ocr_engine/line_ocr_engine.py:168-172).
+    logits_vals: Optional[np.ndarray] = None
+    logits_idx: Optional[np.ndarray] = None
 
 
 class TPUPagePipeline:
@@ -86,6 +98,10 @@ class TPUPagePipeline:
         transport: str = "page",
         cluster_paragraphs: bool = True,
         paragraph_line_threshold: float = 0.3,
+        trim_crops: bool = True,
+        dither_2bit: bool = False,
+        want_logits: bool = False,
+        logits_topk: int = 8,
     ):
         """``mesh``: optional jax.sharding.Mesh with a 'dp' axis — page
         batches shard across it (page_batch must be a multiple of the dp
@@ -109,7 +125,27 @@ class TPUPagePipeline:
         ``transport``: "page" ships whole pages and warps crops on
         device; "crops" ships a host-downsampled 1/4-res page for layout
         plus host-warped line crops (~3x fewer link bytes; see module
-        docstring)."""
+        docstring).
+
+        ``trim_crops`` (crops transport only): concatenate valid crop
+        columns into one width-major strip instead of the dense
+        zero-padded buffer (see module docstring).
+
+        ``dither_2bit``: Bayer-dither the 2-bit crop quantizer.  OFF by
+        default: plain rounding keeps the constant background bytes the
+        transport compresses (~94MB/s vs ~48MB/s entropy-dense on the
+        measured tunnel), so the dithered variant uploads SLOWER than
+        4-bit despite half the raw size; reserve dithering for direct
+        (uncompressed) links.
+
+        ``want_logits``: additionally download per-line TOP-K sparse
+        logits ((T, K) float16 values + uint16 class ids per line) so
+        the caller can materialize the reference's sparse logits pickle
+        and run forced alignment / ALTO export at fast-path throughput.
+        CTC recognizers only (AR transformers cannot produce CTC
+        logits, same preflight as the reference:
+        user_scripts/parse_folder.py:274-280).  Costs ~4*K bytes per
+        frame of download; keep it off on pure-throughput runs."""
         if transport not in ("page", "crops"):
             raise ValueError("transport must be 'page' or 'crops'")
         if transport_bits not in ((2, 4, 8) if transport == "crops" else (4, 8)):
@@ -119,6 +155,8 @@ class TPUPagePipeline:
             )
         self.transport = transport
         self.transport_bits = transport_bits
+        self.trim_crops = trim_crops and transport == "crops"
+        self.dither_2bit = dither_2bit
         self.mesh = mesh
         self.height_scale = height_scale  # LINE_CROPPER LINE_SCALE semantics
         self.downsample = downsample
@@ -142,14 +180,35 @@ class TPUPagePipeline:
         # decode_train entry point; CTC models run forward + greedy
         # collapse.  Both decode fully ON DEVICE inside stage B.
         is_transformer = hasattr(recognizer_model, "decode_train")
-        _num_classes = getattr(
-            getattr(recognizer_model, "spec", None), "num_classes", 256
+        # Converted REFERENCE transformer checkpoints (the post-LN torch
+        # mirror, models/transformer_ref.py) are detected by their spec's
+        # boundary_id and run their own scan-based greedy decode in
+        # stage B (reference engine semantics:
+        # pero_ocr/ocr_engine/transformer_ocr_engine.py:49-89).
+        spec_obj = getattr(recognizer_model, "spec", None)
+        is_ref_transformer = is_transformer and hasattr(
+            spec_obj, "boundary_id"
         )
-        # Largest label id stage B can emit (transformer pads with the
-        # EOS id = num_classes + 1).
-        recognizer_max_label = (
-            _num_classes + 1 if is_transformer else _num_classes - 1
-        )
+        if want_logits and is_transformer:
+            raise ValueError(
+                "want_logits requires a CTC recognizer (AR transformer "
+                "outputs are incompatible with CTC logits, reference: "
+                "user_scripts/parse_folder.py:274-280)"
+            )
+        self.want_logits = want_logits
+        if is_ref_transformer:
+            _num_classes = spec_obj.num_symbols
+            # Padded steps emit the boundary id; the ignore id is the
+            # largest the argmax can produce.
+            recognizer_max_label = _num_classes - 1
+        else:
+            _num_classes = getattr(spec_obj, "num_classes", 256)
+            # Largest label id stage B can emit (the native transformer
+            # pads with the EOS id = num_classes + 1).
+            recognizer_max_label = (
+                _num_classes + 1 if is_transformer else _num_classes - 1
+            )
+        topk = min(logits_topk, _num_classes)
 
         ds = downsample
 
@@ -290,8 +349,35 @@ class TPUPagePipeline:
             CTC: forward + on-device greedy collapse.  Transformer: the
             whole greedy AR decode runs as one lax.scan with KV caching
             (models/transformer.greedy_decode) — the fast path is no
-            longer CTC-only."""
+            longer CTC-only.
+
+            Returns (labels, lengths, confs, logit_vals, logit_idx);
+            the last two are None unless want_logits (see __init__)."""
             n = crops.shape[0] // pb
+            if is_ref_transformer:
+                from pero_ocr_tpu.models.transformer_ref import (
+                    greedy_decode_ref,
+                )
+
+                dec_len = max(8, min(
+                    crop_bucket // 4, spec_obj.max_seq_len - 1
+                ))
+                tokens, lengths, logits = greedy_decode_ref(
+                    recognizer_model, recognizer_variables,
+                    crops / 255.0, dec_len,
+                )
+                # Min chosen-token probability over emitted steps — the
+                # same confidence the native transformer path ships.
+                probs = jax.nn.softmax(logits, axis=-1)
+                chosen = jnp.take_along_axis(
+                    probs, tokens[..., None], axis=-1
+                )[..., 0]
+                emitted = (
+                    jnp.arange(dec_len)[None, :] < lengths[:, None]
+                )
+                confs = jnp.where(emitted, chosen, 1.0).min(axis=1)
+                return (tokens.reshape(pb, n, -1), lengths.reshape(pb, n),
+                        confs.reshape(pb, n), None, None)
             if is_transformer:
                 from pero_ocr_tpu.models.transformer import greedy_decode
 
@@ -304,15 +390,25 @@ class TPUPagePipeline:
                     crops / 255.0, dec_len,
                 )
                 return (tokens.reshape(pb, n, -1), lengths.reshape(pb, n),
-                        confs.reshape(pb, n))
+                        confs.reshape(pb, n), None, None)
             logits = rec_apply(recognizer_variables, crops / 255.0)
             valid = jnp.full((crops.shape[0],), logits.shape[1], jnp.int32)
             labels, lengths = ctc_ops.greedy_ctc_labels(logits, valid)
             # One float per line replaces the logits download for the
             # reference's confidence observability (get_prob semantics).
             confs = ctc_ops.greedy_worst_run_confidence(logits, valid)
+            lvals = lidx = None
+            if want_logits:
+                # Device-side sparsification: the K largest logits per
+                # frame cover everything the reference's p<1e-4 prune
+                # keeps in its csc pickle (line_ocr_engine.py:168-172);
+                # float16 + uint16 quarters the download bytes.
+                vals, idx = jax.lax.top_k(logits, topk)
+                t = logits.shape[1]
+                lvals = vals.astype(jnp.float16).reshape(pb, n, t, topk)
+                lidx = idx.astype(jnp.uint16).reshape(pb, n, t, topk)
             return (labels.reshape(pb, n, -1), lengths.reshape(pb, n),
-                    confs.reshape(pb, n))
+                    confs.reshape(pb, n), lvals, lidx)
 
         def unpack4_expr(packed_u8):
             """(..., H, W/2) nibble pairs -> (..., H, W) uint8 (inline
@@ -348,7 +444,54 @@ class TPUPagePipeline:
                 crops_u8[..., None].astype(jnp.float32),
                 crops_u8.shape + (3,),
             )
-            return stage_b_recognize(crops3, pb)  # (labels, lengths, confs)
+            # (labels, lengths, confs, logit_vals, logit_idx)
+            return stage_b_recognize(crops3, pb)
+
+        def stage_b_strip(strip_u8, offsets, widths, pb: int):
+            """Width-trimmed crop transport: strip_u8 is the (Wb, Hc)
+            width-major strip of concatenated valid crop columns — or
+            (Wb, Hc/2) / (Wb, Hc/4) bit-packed along the HEIGHT axis at
+            transport_bits 4 / 2 — plus per-line column offsets and
+            widths (both (PB*n_slot,) int32).  The device unpacks,
+            rebuilds the bucketed crop tensor with one vmapped
+            dynamic_slice per line (coarse contiguous blocks, not an
+            elementwise gather), masks past-width columns to the same
+            zero padding the dense path ships, and recognizes."""
+            if transport_bits == 4:
+                strip_u8 = unpack4_expr(strip_u8)
+            elif transport_bits == 2:
+                strip_u8 = unpack2_expr(strip_u8)
+            strip = jnp.pad(strip_u8, ((0, bucket), (0, 0)))
+            gathered = jax.vmap(
+                lambda o: jax.lax.dynamic_slice(
+                    strip, (o, 0), (bucket, crop_h)
+                )
+            )(offsets)  # (N, bucket, Hc)
+            col = jnp.arange(bucket, dtype=jnp.int32)[None, :, None]
+            gathered = jnp.where(
+                col < widths[:, None, None], gathered, jnp.uint8(0)
+            )
+            crops = gathered.transpose(0, 2, 1)  # (N, Hc, bucket)
+            crops3 = jnp.broadcast_to(
+                crops[..., None].astype(jnp.float32), crops.shape + (3,)
+            )
+            return stage_b_recognize(crops3, pb)
+
+        def combined_strip(small_u8, strip_u8, offsets, widths, pb: int):
+            """Strip-transport sibling of combined_crops: ONE program
+            per batch fusing stage A of batch i with recognition of
+            batch i-LAG's trimmed strip."""
+            if transport_bits in (2, 4):
+                small_u8 = unpack4_expr(small_u8)
+            packed, heights_q, sep_q = maps_and_pack(
+                small_u8.astype(jnp.float32)[..., None]
+            )
+            labels, lengths, confs, lvals, lidx = stage_b_strip(
+                strip_u8, offsets, widths, pb
+            )
+            if recognizer_max_label <= 254:
+                labels = labels.astype(jnp.uint8)
+            return packed, heights_q, sep_q, labels, lengths, confs, lvals, lidx
 
         def combined_crops(small_u8, crops_u8, pb: int):
             """ONE program per batch for the crop transport: stage A of
@@ -366,13 +509,13 @@ class TPUPagePipeline:
             packed, heights_q, sep_q = maps_and_pack(
                 small_u8.astype(jnp.float32)[..., None]
             )
-            labels, lengths, confs = stage_b_crops(crops_u8, pb)
+            labels, lengths, confs, lvals, lidx = stage_b_crops(crops_u8, pb)
             # Label ids fit a byte for small-enough charsets (CTC pad -1
             # -> 255; transformer pads with its EOS id): quarters the
             # label download.
             if recognizer_max_label <= 254:
                 labels = labels.astype(jnp.uint8)
-            return packed, heights_q, sep_q, labels, lengths, confs
+            return packed, heights_q, sep_q, labels, lengths, confs, lvals, lidx
 
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -400,12 +543,26 @@ class TPUPagePipeline:
                 combined_crops, static_argnums=(2,),
                 in_shardings=(batch_sh, batch_sh),
             )
+            # Strip transport under the mesh: the strip replicates (its
+            # columns belong to lines of different pages); the per-line
+            # offset/width vectors shard over dp so the rebuilt crop
+            # tensor comes out dp-sharded for the recognizer.
+            line_sh = NamedSharding(mesh, P("dp"))
+            self._combined_strip = jax.jit(
+                combined_strip, static_argnums=(4,),
+                in_shardings=(
+                    batch_sh, NamedSharding(mesh, P()), line_sh, line_sh,
+                ),
+            )
         else:
             self._stage_b_crops = jax.jit(
                 stage_b_crops, static_argnums=(1,)
             )
             self._combined_crops = jax.jit(
                 combined_crops, static_argnums=(2,)
+            )
+            self._combined_strip = jax.jit(
+                combined_strip, static_argnums=(4,)
             )
 
         self._stage_a = stage_a
@@ -456,17 +613,24 @@ class TPUPagePipeline:
     # quantization step: ordered dithering keeps the LOCAL MEAN intensity
     # of anti-aliased glyph edges through the 4-level quantizer (what the
     # recognizer's first conv actually integrates), where plain rounding
-    # posterizes edges and shifts them by up to half a step.
+    # posterizes edges and shifts them by up to half a step.  Dithering
+    # is OPT-IN (dither_2bit): it entropy-fills the constant background
+    # the transport otherwise compresses, and measured SLOWER than 4-bit
+    # on the tunnel despite half the raw bytes.
     _BAYER2 = np.array([[-32, 11], [32, -11]], np.int16)
 
     @classmethod
-    def _pack2(cls, grays: np.ndarray) -> np.ndarray:
-        """(N, H, W) uint8 -> (N, H, W/4) dithered 2-bit quads (W must be
-        a multiple of 4; crop buckets are).  Decode is q*85."""
-        h, w = grays.shape[1], grays.shape[2]
-        offs = cls._BAYER2[
-            np.ix_(np.arange(h) & 1, np.arange(w) & 1)
-        ]
+    def _pack2(cls, grays: np.ndarray, dither: bool = False) -> np.ndarray:
+        """(N, H, W) uint8 -> (N, H, W/4) 2-bit quads (W must be a
+        multiple of 4; crop buckets are).  Decode is q*85.  Plain
+        rounding by default; ``dither`` applies the Bayer offsets."""
+        if dither:
+            h, w = grays.shape[1], grays.shape[2]
+            offs = cls._BAYER2[
+                np.ix_(np.arange(h) & 1, np.arange(w) & 1)
+            ]
+        else:
+            offs = 0
         q = np.clip(
             (grays.astype(np.int16) + 42 + offs) // 85, 0, 3
         ).astype(np.uint8)
@@ -504,11 +668,10 @@ class TPUPagePipeline:
     # which a line counts as straight and takes the affine fast path.
     STRAIGHT_TOL_PX = 0.75
 
-    def _host_crops(
-        self, gray: np.ndarray, b_list, h_list, n_slot: int
-    ) -> Tuple[np.ndarray, np.ndarray]:
-        """Crop-transport warp (host; same warp math as the stage-by-stage
-        cropper, reference: pero_ocr/core/crop_engine.py:54-99).
+    def _host_crop_line(self, gray: np.ndarray, bl, hh) -> np.ndarray:
+        """Warp ONE line to its (crop_height, w) strip (host; same warp
+        math as the stage-by-stage cropper, reference:
+        pero_ocr/core/crop_engine.py:54-99).
 
         Straight baselines (the vast majority on print pages) take a
         single inverse-affine ``cv2.warpAffine`` — ~60us/line vs ~700us
@@ -518,51 +681,111 @@ class TPUPagePipeline:
         back to the measured warp field + ``cv2.remap``."""
         import cv2
 
+        hc = self.crop_height
+        bl = np.asarray(bl, float)
+        asc, desc = np.asarray(hh, float) * self.height_scale
+        chord = bl[-1] - bl[0]
+        clen = float(np.hypot(chord[0], chord[1]))
+        scale = hc / max(asc + desc, 1e-6)
+        if len(bl) > 2 and clen > 1e-6:
+            u = chord / clen
+            rel = bl - bl[0]
+            dev = float(
+                np.abs(rel[:, 0] * u[1] - rel[:, 1] * u[0]).max()
+            )
+        else:
+            dev = 0.0
+        if dev <= self.STRAIGHT_TOL_PX and clen > 1e-6:
+            w = max(min(int(clen * scale), self.crop_bucket), 1)
+            u = chord / clen
+            nvec = np.array([-u[1], u[0]])
+            dv = (asc + desc) / max(hc - 1, 1)
+            p0 = bl[0] + nvec * (-asc)
+            m = np.array([
+                [u[0] / scale, nvec[0] * dv, p0[0]],
+                [u[1] / scale, nvec[1] * dv, p0[1]],
+            ])
+            return cv2.warpAffine(
+                gray, m, (w, hc),
+                flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
+                borderMode=cv2.BORDER_CONSTANT,
+            )
+        field = line_geometry.warp_field(
+            bl, np.asarray(hh, float) * self.height_scale, hc
+        )
+        w = min(field.shape[1], self.crop_bucket)
+        return cv2.remap(
+            gray, field[:, :w, 0], field[:, :w, 1],
+            cv2.INTER_LINEAR, borderMode=cv2.BORDER_CONSTANT,
+        )
+
+    def _host_crops(
+        self, gray: np.ndarray, b_list, h_list, n_slot: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Dense crop-transport buffer: per-line warps zero-padded into
+        (n_slot, Hc, crop_bucket) (the trim_crops=False layout)."""
         crops = np.zeros(
             (n_slot, self.crop_height, self.crop_bucket), np.uint8
         )
         widths = np.zeros(n_slot, np.int32)
-        hc = self.crop_height
         for i, (bl, hh) in enumerate(zip(b_list, h_list)):
-            bl = np.asarray(bl, float)
-            asc, desc = np.asarray(hh, float) * self.height_scale
-            chord = bl[-1] - bl[0]
-            clen = float(np.hypot(chord[0], chord[1]))
-            scale = hc / max(asc + desc, 1e-6)
-            if len(bl) > 2 and clen > 1e-6:
-                u = chord / clen
-                rel = bl - bl[0]
-                dev = float(
-                    np.abs(rel[:, 0] * u[1] - rel[:, 1] * u[0]).max()
-                )
-            else:
-                dev = 0.0
-            if dev <= self.STRAIGHT_TOL_PX and clen > 1e-6:
-                w = max(min(int(clen * scale), self.crop_bucket), 1)
-                u = chord / clen
-                nvec = np.array([-u[1], u[0]])
-                dv = (asc + desc) / max(hc - 1, 1)
-                p0 = bl[0] + nvec * (-asc)
-                m = np.array([
-                    [u[0] / scale, nvec[0] * dv, p0[0]],
-                    [u[1] / scale, nvec[1] * dv, p0[1]],
-                ])
-                crops[i, :, :w] = cv2.warpAffine(
-                    gray, m, (w, hc),
-                    flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
-                    borderMode=cv2.BORDER_CONSTANT,
-                )
-            else:
-                field = line_geometry.warp_field(
-                    bl, np.asarray(hh, float) * self.height_scale, hc
-                )
-                w = min(field.shape[1], self.crop_bucket)
-                crops[i, :, :w] = cv2.remap(
-                    gray, field[:, :w, 0], field[:, :w, 1],
-                    cv2.INTER_LINEAR, borderMode=cv2.BORDER_CONSTANT,
-                )
+            crop = self._host_crop_line(gray, bl, hh)
+            w = crop.shape[1]
+            crops[i, :, :w] = crop
             widths[i] = w
         return crops, widths
+
+    # Floor (in columns) of the width-trimmed strip's pow2 shape ladder;
+    # pow2 quantization bounds distinct compiled shapes to the log of the
+    # width range, and the padding columns are zeros the transport
+    # compresses.
+    STRIP_MIN_COLS = 1024
+
+    def _strip_cols(self, total: int) -> int:
+        floor = max(self.STRIP_MIN_COLS, 2 * self.crop_bucket)
+        return max(floor, 1 << int(np.ceil(np.log2(max(total, 1)))))
+
+    def _pack_strip(self, strip: np.ndarray) -> np.ndarray:
+        """Bit-pack the (W, Hc) strip along the HEIGHT axis (so column
+        offsets stay byte-independent of transport_bits)."""
+        if self.transport_bits == 4:
+            return self._pack4(strip[None])[0]
+        if self.transport_bits == 2:
+            return self._pack2(strip[None], self.dither_2bit)[0]
+        return strip
+
+    def _build_strip(self, grays, page_lines, n_slot: int, page_batch: int):
+        """Width-trimmed crop payload for one batch: concatenate every
+        line's valid crop columns into one width-major (W, Hc) strip
+        (pow2-bucketed W, bit-packed along Hc) plus per-line int32
+        offsets/widths.  Returns ((strip, offsets, widths) | None,
+        per-page width arrays)."""
+        n_total = page_batch * n_slot
+        offsets = np.zeros(n_total, np.int32)
+        widths = np.zeros(n_total, np.int32)
+        line_crops = []  # (flat line index, (Hc, w) crop)
+        total = 0
+        widths_all = []
+        for slot, (b_list, h_list, _) in enumerate(page_lines):
+            if not b_list:
+                widths_all.append(None)
+                continue
+            for i, (bl, hh) in enumerate(zip(b_list, h_list)):
+                crop = self._host_crop_line(grays[slot], bl, hh)
+                j = slot * n_slot + i
+                offsets[j] = total
+                widths[j] = crop.shape[1]
+                total += crop.shape[1]
+                line_crops.append((j, crop))
+            widths_all.append(
+                widths[slot * n_slot : slot * n_slot + len(b_list)].copy()
+            )
+        if total == 0:
+            return None, widths_all
+        strip = np.zeros((self._strip_cols(total), self.crop_height), np.uint8)
+        for j, crop in line_crops:
+            strip[offsets[j] : offsets[j] + widths[j]] = crop.T
+        return (self._pack_strip(strip), offsets, widths), widths_all
 
     def _lines_from_masks(
         self, baselines_mask, connected, heights_map
@@ -727,9 +950,10 @@ class TPUPagePipeline:
         return list(np.asarray(clusters).tolist())
 
     def _drain(self, entry, stage_timer):
-        ids_, geoms_, labels_dev, lengths_dev, confs_dev = entry
+        (ids_, geoms_, labels_dev, lengths_dev, confs_dev,
+         lvals_dev, lidx_dev) = entry
         if labels_dev is None:
-            labels = lengths = confs = None
+            labels = lengths = confs = lvals = lidx = None
         else:
             with stage_timer("pipeline/labels_sync"):
                 labels = np.asarray(labels_dev)
@@ -738,6 +962,12 @@ class TPUPagePipeline:
                     np.asarray(confs_dev)
                     if confs_dev is not None and self._has_confidence
                     else None
+                )
+                lvals = (
+                    np.asarray(lvals_dev) if lvals_dev is not None else None
+                )
+                lidx = (
+                    np.asarray(lidx_dev) if lidx_dev is not None else None
                 )
         for slot, (i, (b_list, h_list, widths, clusters)) in enumerate(
             zip(ids_, geoms_)
@@ -751,6 +981,8 @@ class TPUPagePipeline:
                     i, b_list, h_list, labels[slot], lengths[slot], widths,
                     clusters,
                     confs[slot] if confs is not None else None,
+                    lvals[slot] if lvals is not None else None,
+                    lidx[slot] if lidx is not None else None,
                 )
 
     def _run_page(self, pages, lines_override, page_batch):
@@ -790,7 +1022,7 @@ class TPUPagePipeline:
         # Stage-B fetches trail one batch behind their dispatch: batch
         # i-1's labels download while batch i dispatches and batch i+1's
         # stage A is in flight.
-        inflight = None  # (ids, geoms, labels_dev, lengths_dev, confs_dev)
+        inflight = None  # (ids, geoms, labels/lengths/confs/lvals/lidx dev)
 
         for batch_idx, ids in enumerate(batches):
             with stage_timer("pipeline/upload+dispatch_a"):
@@ -809,6 +1041,7 @@ class TPUPagePipeline:
                 )
 
             labels_dev = lengths_dev = confs_dev = None
+            lvals_dev = lidx_dev = None
             if max_n == 0:
                 geoms = [(b, h, None, c) for b, h, c in page_lines]
             else:
@@ -841,7 +1074,8 @@ class TPUPagePipeline:
                             hh.reshape(-1, 2), self.crop_height, flat
                         ).all()
                     )
-                    labels_dev, lengths_dev, confs_dev = self._stage_b(
+                    (labels_dev, lengths_dev, confs_dev, lvals_dev,
+                     lidx_dev) = self._stage_b(
                         device_pages[batch_idx],
                         jnp.asarray(bl), jnp.asarray(hh),
                         structured_ok=structured_ok,
@@ -856,7 +1090,8 @@ class TPUPagePipeline:
 
             if inflight is not None:
                 yield from self._drain(inflight, stage_timer)
-            inflight = (ids, geoms, labels_dev, lengths_dev, confs_dev)
+            inflight = (ids, geoms, labels_dev, lengths_dev, confs_dev,
+                        lvals_dev, lidx_dev)
 
         if inflight is not None:
             yield from self._drain(inflight, stage_timer)
@@ -897,13 +1132,24 @@ class TPUPagePipeline:
 
         def geometry_and_warp(bi, grays, masks):
             """Worker-thread job: CC line parse + host crop warp + pack
-            for one batch.  Returns (ids, geoms, packed_crops|None,
-            n_slot)."""
+            for one batch.  Returns (ids, geoms, payload|None, n_slot);
+            the payload is the packed dense buffer (trim_crops=False) or
+            a (strip, offsets, widths) triple (trim_crops=True)."""
             ids = batches[bi]
             with stage_timer("pipeline/host_geometry"):
                 page_lines, max_n, n_slot = self._batch_lines(
                     pages, ids, lines_override, masks
                 )
+            if self.trim_crops:
+                with stage_timer("pipeline/host_warp"):
+                    payload, widths_all = self._build_strip(
+                        grays, page_lines, n_slot, page_batch
+                    )
+                geoms = [
+                    (b, h, w, c)
+                    for (b, h, c), w in zip(page_lines, widths_all)
+                ]
+                return ids, geoms, payload, n_slot
             with stage_timer("pipeline/host_warp"):
                 crop_stack = np.zeros(
                     (page_batch, n_slot, self.crop_height,
@@ -932,7 +1178,7 @@ class TPUPagePipeline:
                 with stage_timer("pipeline/pack_crops"):
                     flat = (
                         self._pack4(flat) if self.transport_bits == 4
-                        else self._pack2(flat)
+                        else self._pack2(flat, self.dither_2bit)
                     )
             return ids, geoms, flat, n_slot
 
@@ -944,7 +1190,8 @@ class TPUPagePipeline:
         warp_futures = {}   # bi -> Future[(ids, geoms, crops|None, n_slot)]
         dispatched = {}     # bi -> (ids, geoms, has_labels)
 
-        wb = self.crop_bucket // {8: 1, 4: 2, 2: 4}[self.transport_bits]
+        pack_div = {8: 1, 4: 2, 2: 4}[self.transport_bits]
+        wb = self.crop_bucket // pack_div
 
         for bi in range(n_batches + lag):
             if bi < n_batches:
@@ -963,24 +1210,46 @@ class TPUPagePipeline:
             fut = warp_futures.pop(rec_bi, None)
             if fut is not None:
                 with stage_timer("pipeline/warp_wait"):
-                    rec_ids, rec_geoms, rec_crops, _ = fut.result()
+                    rec_ids, rec_geoms, rec_payload, _ = fut.result()
                 dispatched[rec_bi] = (rec_ids, rec_geoms,
-                                      rec_crops is not None)
+                                      rec_payload is not None)
             else:
-                rec_crops = None
-            if rec_crops is None:
-                crops_dev = jnp.zeros(
-                    (page_batch * self.line_slot, self.crop_height, wb),
-                    jnp.uint8,
-                )
-            else:
-                crops_dev = jnp.asarray(rec_crops)
+                rec_payload = None
 
-            with stage_timer("pipeline/combined_dispatch"):
-                (packed_m, heights_q, sep_q, labels_dev, lengths_dev,
-                 confs_dev) = (
-                    self._combined_crops(small_dev, crops_dev, page_batch)
-                )
+            if self.trim_crops:
+                hc_packed = self.crop_height // pack_div
+                if rec_payload is None:
+                    strip_dev = jnp.zeros(
+                        (self._strip_cols(0), hc_packed), jnp.uint8
+                    )
+                    offs_dev = jnp.zeros(
+                        (page_batch * self.line_slot,), jnp.int32
+                    )
+                    wid_dev = offs_dev
+                else:
+                    strip, offs, wid = rec_payload
+                    strip_dev = jnp.asarray(strip)
+                    offs_dev = jnp.asarray(offs)
+                    wid_dev = jnp.asarray(wid)
+                with stage_timer("pipeline/combined_dispatch"):
+                    (packed_m, heights_q, sep_q, labels_dev, lengths_dev,
+                     confs_dev, lvals_dev, lidx_dev) = self._combined_strip(
+                        small_dev, strip_dev, offs_dev, wid_dev, page_batch
+                    )
+            else:
+                if rec_payload is None:
+                    crops_dev = jnp.zeros(
+                        (page_batch * self.line_slot, self.crop_height, wb),
+                        jnp.uint8,
+                    )
+                else:
+                    crops_dev = jnp.asarray(rec_payload)
+
+                with stage_timer("pipeline/combined_dispatch"):
+                    (packed_m, heights_q, sep_q, labels_dev, lengths_dev,
+                     confs_dev, lvals_dev, lidx_dev) = (
+                        self._combined_crops(small_dev, crops_dev, page_batch)
+                    )
 
             # ONE forced-fetch round per dispatch: batch bi's masks and
             # batch bi-lag's labels arrive together (a second fetch
@@ -993,8 +1262,15 @@ class TPUPagePipeline:
                 )
                 if need_labels:
                     fetch += [labels_dev, lengths_dev, confs_dev]
+                    if self.want_logits:
+                        fetch += [lvals_dev, lidx_dev]
                 fetched = [np.asarray(x) for x in fetch]
-            if need_labels:
+            lvals_np = lidx_np = None
+            if need_labels and self.want_logits:
+                labels_np, lengths_np, confs_np, lvals_np, lidx_np = (
+                    fetched[-5:]
+                )
+            elif need_labels:
                 labels_np, lengths_np, confs_np = fetched[-3:]
             else:
                 labels_np = lengths_np = confs_np = None
@@ -1009,6 +1285,7 @@ class TPUPagePipeline:
 
             if entry is not None:
                 yield from self._drain(
-                    (entry[0], entry[1], labels_np, lengths_np, confs_np),
+                    (entry[0], entry[1], labels_np, lengths_np, confs_np,
+                     lvals_np, lidx_np),
                     stage_timer,
                 )

@@ -65,13 +65,18 @@ def parse_arguments():
                         help="Print per-stage timing table at the end.")
     parser.add_argument("--fast-pipeline", action="store_true",
                         help="Device-resident batched pipeline (CNN layout "
-                             "+ CTC configs; XML/transcript outputs only).")
-    parser.add_argument("--transport-bits", type=int, choices=[4, 8],
+                             "configs; all outputs — logits/ALTO downloads "
+                             "top-k sparse logits, crop outputs re-warp on "
+                             "host).")
+    parser.add_argument("--transport-bits", type=int, choices=[2, 4, 8],
                         default=4,
-                        help="Fast-pipeline page upload depth: 4 packs two "
+                        help="Fast-pipeline upload depth: 4 packs two "
                              "pixels per byte (half the link bytes, "
                              "transcription-neutral), 8 sends raw "
-                             "grayscale.")
+                             "grayscale; 2 (crops transport only, for "
+                             "high-contrast print) packs four CROP pixels "
+                             "per byte with plain rounding while the "
+                             "layout page stays 4-bit.")
     parser.add_argument("--transport", choices=["page", "crops"],
                         default="page",
                         help="Fast-pipeline transport: 'page' ships whole "
@@ -443,17 +448,19 @@ def main():
     profile_ctx = jax_profile(args.profile)
     profile_ctx.__enter__()
     if args.fast_pipeline:
-        if output_logit_path or output_line_path or output_alto_path:
+        if args.transport_bits == 2 and args.transport != "crops":
             logging.error(
-                "--fast-pipeline supports XML/render/transcript outputs only "
-                "(crops and logits are not materialized)."
+                "--transport-bits 2 requires --transport crops "
+                "(the layout page never drops below 4-bit)."
             )
             sys.exit(2)
         from pero_ocr_tpu.document.fast_pipeline import FastPagePipeline
 
         fast = FastPagePipeline(
             page_parser, transport_bits=args.transport_bits,
-            transport=args.transport
+            transport=args.transport,
+            want_logits=bool(output_logit_path or output_alto_path),
+            want_crops=bool(output_line_path),
         )
         images = [
             cv2.imread(os.path.join(input_image_path, f), 1)
@@ -464,6 +471,27 @@ def main():
                 layout.to_pagexml(
                     os.path.join(output_xml_path, layout.id + ".xml")
                 )
+            if output_logit_path is not None:
+                layout.save_logits(
+                    os.path.join(output_logit_path, layout.id + ".logits")
+                )
+            if output_alto_path is not None:
+                layout.to_altoxml(
+                    os.path.join(output_alto_path, layout.id + ".xml")
+                )
+            if output_line_path is not None:
+                if "lmdb" in output_line_path:
+                    LMDBWriter(output_line_path)(layout, layout.id)
+                else:
+                    for line in layout.lines_iterator():
+                        cv2.imwrite(
+                            os.path.join(
+                                output_line_path,
+                                f"{layout.id}-{line.id}.jpg",
+                            ),
+                            line.crop.astype(np.uint8),
+                            [int(cv2.IMWRITE_JPEG_QUALITY), 98],
+                        )
             if output_render_path is not None:
                 idx = ids_to_process.index(layout.id)
                 img = images[idx]

@@ -341,6 +341,221 @@ class TestCropTransport:
         assert np.median(diff) <= 16, np.median(diff)
 
 
+class TestStripTransport:
+    """Width-trimmed strip crop transport (VERDICT r2 next-round #1):
+    valid crop columns concatenate into one width-major strip + per-line
+    offsets, and the device rebuilds the bucketed crops — the dense
+    zero-padded buffer never crosses the link."""
+
+    def _make(self, trim, bits=8, **kw):
+        parsenet = ParseNet(base_features=4, depth=2)
+        pn_params = parsenet.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
+        )
+        spec = RecognizerSpec(
+            num_classes=8, line_height=16, conv_features=(4, 8),
+            subsampling=2, lstm_layers=1, lstm_features=8,
+        )
+        recognizer = CTCRecognizer(spec)
+        rec_params = recognizer.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 16, 64, 3), jnp.float32)
+        )
+        return TPUPagePipeline(
+            parsenet, pn_params, recognizer, rec_params,
+            downsample=4, crop_height=16, crop_bucket=256, line_slot=8,
+            transport="crops", transport_bits=bits, trim_crops=trim, **kw
+        )
+
+    @pytest.mark.parametrize("bits", [8, 4, 2])
+    def test_strip_matches_dense_labels(self, bits):
+        """The rebuilt crops are byte-identical to the dense buffer
+        (same warp, same quantizer, same zero padding), so labels,
+        lengths, and confidences must match exactly."""
+        pages = synthetic_pages(5)
+        r_strip = list(self._make(True, bits).run(
+            pages, lines_override=fixed_lines, page_batch=2
+        ))
+        r_dense = list(self._make(False, bits).run(
+            pages, lines_override=fixed_lines, page_batch=2
+        ))
+        assert len(r_strip) == len(r_dense) == 5
+        for a, b in zip(r_strip, r_dense):
+            np.testing.assert_array_equal(a.labels, b.labels)
+            np.testing.assert_array_equal(a.label_lengths, b.label_lengths)
+            np.testing.assert_allclose(a.confidences, b.confidences,
+                                       rtol=1e-5)
+            for wa, wb_ in zip(a.crops_width, b.crops_width):
+                assert wa == wb_
+
+    def test_strip_bytes_strictly_fewer(self):
+        """The strip payload must be smaller than the dense buffer for a
+        batch whose lines underfill the crop bucket."""
+        p = self._make(True)
+        pages = synthetic_pages(2)
+        grays = [p._gray(pg) for pg in pages]
+        page_lines = [
+            (fl[0], fl[1], None)
+            for fl in [fixed_lines(pg) for pg in pages]
+        ]
+        payload, widths_all = p._build_strip(grays, page_lines, 8, 2)
+        strip, offsets, widths = payload
+        dense_bytes = 2 * 8 * p.crop_height * p.crop_bucket
+        strip_bytes = strip.nbytes + offsets.nbytes + widths.nbytes
+        assert strip_bytes < dense_bytes
+        # Offsets tile the strip contiguously and widths match.
+        got = offsets[widths > 0]
+        assert got[0] == 0
+        np.testing.assert_array_equal(
+            np.diff(got), widths[widths > 0][:-1]
+        )
+
+    def test_strip_cnn_detection_path(self):
+        results = list(self._make(True).run(synthetic_pages(2), page_batch=2))
+        assert len(results) == 2
+
+    def test_strip_empty_page_batch(self):
+        """A batch with zero detected lines must flow through (flush
+        dispatches use the zero-strip shape)."""
+        def no_lines(_page):
+            return [], []
+
+        results = list(self._make(True).run(
+            synthetic_pages(3), lines_override=no_lines, page_batch=2
+        ))
+        assert len(results) == 3
+        for r in results:
+            assert r.labels is None
+
+
+class TestWantLogits:
+    """Opt-in top-k sparse logits download (VERDICT r2 next-round #3):
+    unlocks logits pickles / forced alignment / ALTO at fast-path
+    throughput."""
+
+    def _make(self, **kw):
+        parsenet = ParseNet(base_features=4, depth=2)
+        pn_params = parsenet.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
+        )
+        spec = RecognizerSpec(
+            num_classes=8, line_height=16, conv_features=(4, 8),
+            subsampling=2, lstm_layers=1, lstm_features=8,
+        )
+        recognizer = CTCRecognizer(spec)
+        rec_params = recognizer.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 16, 64, 3), jnp.float32)
+        )
+        return recognizer, rec_params, TPUPagePipeline(
+            parsenet, pn_params, recognizer, rec_params,
+            downsample=4, crop_height=16, crop_bucket=256, line_slot=8,
+            **kw
+        )
+
+    @pytest.mark.parametrize("transport", ["page", "crops"])
+    def test_topk_logits_match_direct_forward(self, transport):
+        """The downloaded top-k values/indices must equal the
+        recognizer's own logits at those positions (float16 tol)."""
+        recognizer, rec_params, p = self._make(
+            transport=transport, want_logits=True, logits_topk=4,
+            transport_bits=8,
+        )
+        pages = synthetic_pages(2)
+        results = list(p.run(pages, lines_override=fixed_lines,
+                             page_batch=2))
+        for r in results:
+            assert r.logits_vals is not None and r.logits_idx is not None
+            assert r.logits_vals.shape == r.logits_idx.shape
+            assert r.logits_vals.shape[-1] == 4
+            assert r.logits_vals.dtype == np.float16
+            assert r.logits_idx.dtype == np.uint16
+        # Rebuild line 0's crop exactly as the pipeline ships it and
+        # compare the recognizer forward at the top-k positions.
+        r0 = results[0]
+        gray = p._gray(pages[0])
+        bl, hh = fixed_lines(pages[0])
+        crop = p._host_crop_line(gray, bl[0], hh[0])
+        full = np.zeros((16, 256), np.uint8)
+        full[:, : crop.shape[1]] = crop
+        x = jnp.broadcast_to(
+            jnp.asarray(full, jnp.float32)[None, ..., None], (1, 16, 256, 3)
+        )
+        logits = np.asarray(recognizer.apply(rec_params, x / 255.0))[0]
+        if transport == "page":
+            # Device warp differs subpixel from the host warp; only the
+            # crops transport is bit-identical.  Check shapes only.
+            return
+        vals = r0.logits_vals[0].astype(np.float32)
+        idx = r0.logits_idx[0].astype(np.int64)
+        ref = np.take_along_axis(logits, idx, axis=1)
+        np.testing.assert_allclose(vals, ref, atol=2e-2, rtol=1e-2)
+        # Indices really are the per-frame top-k.
+        ref_top = np.argsort(-logits, axis=1)[:, :4]
+        assert (np.sort(idx, 1) == np.sort(ref_top, 1)).mean() > 0.99
+
+    def test_transformer_rejects_want_logits(self):
+        from pero_ocr_tpu.models.transformer import (
+            TransformerOCR,
+            TransformerSpec,
+        )
+
+        parsenet = ParseNet(base_features=4, depth=2)
+        pn_params = parsenet.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
+        )
+        spec = TransformerSpec(
+            num_classes=6, line_height=16, conv_features=(4,),
+            subsampling=2, d_model=8, num_heads=2, encoder_layers=1,
+            decoder_layers=1, mlp_dim=16, max_decode_len=16,
+            dtype=jnp.float32,
+        )
+        model = TransformerOCR(spec)
+        params = model.init(
+            jax.random.PRNGKey(1),
+            jnp.zeros((1, 16, 64, 3), jnp.float32),
+            jnp.zeros((1, 4), jnp.int32),
+        )
+        with pytest.raises(ValueError, match="CTC"):
+            TPUPagePipeline(
+                parsenet, pn_params, model, params,
+                downsample=4, crop_height=16, crop_bucket=256,
+                want_logits=True,
+            )
+
+    def test_no_logits_by_default(self):
+        _, _, p = self._make(transport="crops", transport_bits=4)
+        results = list(p.run(
+            synthetic_pages(2), lines_override=fixed_lines, page_batch=2
+        ))
+        for r in results:
+            assert r.logits_vals is None
+
+
+class TestPack2:
+    def test_plain_rounding_keeps_background_constant(self):
+        """Print-mode default: NO dithering — constant background stays
+        one byte value so the transport's compression keeps working
+        (the dithered variant measured slower than 4-bit)."""
+        bg = np.full((1, 4, 64), 0xEE, np.uint8)
+        packed = TPUPagePipeline._pack2(bg)
+        assert np.unique(packed).size == 1
+
+    def test_dither_opt_in_varies_bytes(self):
+        mid = np.full((1, 4, 64), 120, np.uint8)
+        assert np.unique(TPUPagePipeline._pack2(mid)).size == 1
+        assert np.unique(TPUPagePipeline._pack2(mid, dither=True)).size > 1
+
+    def test_roundtrip_error_bound(self):
+        """Plain 2-bit: every gray level reconstructs within half a
+        quantization step (<= 43 of 255)."""
+        grays = np.tile(np.arange(0, 256, dtype=np.uint8), (1, 4, 1))
+        packed = TPUPagePipeline._pack2(grays)
+        q = np.stack(
+            [(packed >> (2 * i)) & 3 for i in range(4)], axis=-1
+        ).reshape(1, 4, 256).astype(np.int32) * 85
+        err = np.abs(q - grays.astype(np.int32))
+        assert err.max() <= 43, err.max()
+
+
 class TestTransformerRecognizer:
     """The device pipeline is not CTC-only: a native transformer OCR
     model runs its greedy AR decode (one lax.scan, KV-cached) inside

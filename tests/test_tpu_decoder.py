@@ -96,8 +96,10 @@ class TestVisualOnlyParity:
 
 class TestBigCharsetParity:
     def test_wide_vocab_matches_host(self):
-        """Charsets >= 64 take the two-stage top-k path; scores must
-        still match the host decoder exactly."""
+        """Wide charsets (>= 64 symbols) stress the decoder's single
+        wide top_k (the two-stage variant was measured and rejected —
+        see the comment in decoding/tpu_decoder.py); scores must still
+        match the host decoder exactly."""
         n_chars = 80
         letters = [chr(0x100 + i) for i in range(n_chars)] + [BLANK_SYMBOL]
         rng = np.random.default_rng(11)
