@@ -873,6 +873,172 @@ class TPUPagePipeline:
         else:
             yield from self._run_page(pages, lines_override, page_batch)
 
+    # ------------------------------------------------------------------
+    # Weather-independent instrumentation (crops transport).  The tunnel
+    # this chip sits behind swings ~3x in throughput run to run, so an
+    # end-to-end pages/s capture alone cannot distinguish a regression
+    # from bad link weather.  These two probes factor the loop:
+    #   measure_device_ms      — pure device compute per batch, measured
+    #                            with K chained dispatches per forced
+    #                            fetch ((t_K - t_1)/(K-1), the CLAUDE.md
+    #                            protocol; a single dispatch+fetch would
+    #                            measure the ~26ms RTT instead);
+    #   measure_transport_floor — the link time to move exactly this
+    #                            pipeline's per-batch bytes through a
+    #                            trivial device program (no model
+    #                            compute).  End-to-end throughput ~= the
+    #                            floor means the link is saturated and
+    #                            device compute is fully hidden.
+    def _one_batch_payload(self, pages, lines_override, page_batch):
+        """Build batch 0's REAL device payloads (small pages + crop
+        payload) exactly as _run_crops ships them."""
+        if self.transport != "crops":
+            raise ValueError("instrumentation requires transport='crops'")
+        ids = list(range(min(page_batch, len(pages))))
+        padded = ids + [ids[-1]] * (page_batch - len(ids))
+        grays = np.stack([self._gray(pages[i]) for i in padded])
+        small = np.stack([self._canvas(g) for g in grays])
+        if self.transport_bits in (2, 4):
+            small = self._pack4(small)
+        small_dev = jnp.asarray(small)
+        if lines_override is None:
+            masks = self._unpack_stage_a(
+                *[np.asarray(o) for o in self._stage_a_small(small_dev)]
+            )
+        else:
+            masks = None
+        page_lines, max_n, n_slot = self._batch_lines(
+            pages, ids, lines_override, masks
+        )
+        if self.trim_crops:
+            payload, _ = self._build_strip(
+                grays, page_lines, n_slot, page_batch
+            )
+            if payload is None:
+                payload = (
+                    np.zeros(
+                        (self._strip_cols(0), self.crop_height
+                         // {8: 1, 4: 2, 2: 4}[self.transport_bits]),
+                        np.uint8,
+                    ),
+                    np.zeros(page_batch * self.line_slot, np.int32),
+                    np.zeros(page_batch * self.line_slot, np.int32),
+                )
+        else:
+            crop_stack = np.zeros(
+                (page_batch, n_slot, self.crop_height, self.crop_bucket),
+                np.uint8,
+            )
+            for slot, (b_list, h_list, _) in enumerate(page_lines):
+                if b_list:
+                    crop_stack[slot], _ = self._host_crops(
+                        grays[slot], b_list, h_list, n_slot
+                    )
+            flat = crop_stack.reshape(
+                page_batch * n_slot, self.crop_height, self.crop_bucket
+            )
+            if self.transport_bits == 4:
+                flat = self._pack4(flat)
+            elif self.transport_bits == 2:
+                flat = self._pack2(flat, self.dither_2bit)
+            payload = (flat,)
+        return small, payload
+
+    def _combined_dispatch_once(self, small_dev, payload_dev, page_batch):
+        if self.trim_crops:
+            strip_dev, offs_dev, wid_dev = payload_dev
+            return self._combined_strip(
+                small_dev, strip_dev, offs_dev, wid_dev, page_batch
+            )
+        return self._combined_crops(small_dev, payload_dev[0], page_batch)
+
+    def measure_device_ms(
+        self, pages, lines_override=None, page_batch: int = 4,
+        k: int = 8, reps: int = 3,
+    ) -> float:
+        """Device compute of the combined per-batch program in ms/batch,
+        link-weather independent: payloads upload ONCE, then K chained
+        dispatches share a single forced fetch; (t_K - t_1)/(K - 1)
+        cancels both the RTT and the upload.  Dispatches on this chip
+        execute in order on one stream, so the chain needs no explicit
+        data dependency."""
+        import time
+
+        small, payload = self._one_batch_payload(
+            pages, lines_override, page_batch
+        )
+        small_dev = jnp.asarray(small)
+        payload_dev = tuple(jnp.asarray(p) for p in payload)
+
+        def chain(kk):
+            t0 = time.perf_counter()
+            for _ in range(kk):
+                outs = self._combined_dispatch_once(
+                    small_dev, payload_dev, page_batch
+                )
+            np.asarray(outs[3])  # labels: force completion of the chain
+            return time.perf_counter() - t0
+
+        chain(1)  # compile + warm
+        best = None
+        for _ in range(reps):
+            t1 = chain(1)
+            tk = chain(k)
+            per = (tk - t1) / (k - 1)
+            best = per if best is None else min(best, per)
+        return best * 1000.0
+
+    def measure_transport_floor(
+        self, pages, lines_override=None, page_batch: int = 4,
+        reps: int = 6,
+    ) -> float:
+        """Pages/s ceiling set by the link alone: move exactly this
+        pipeline's per-batch bytes (real payloads up, arrays with the
+        combined program's output shapes down) through a trivial device
+        program and time upload+dispatch+fetch.  No model compute — if
+        end-to-end throughput matches this, the tunnel is saturated."""
+        import time
+
+        small, payload = self._one_batch_payload(
+            pages, lines_override, page_batch
+        )
+        # Real output shapes/dtypes from one true combined dispatch.
+        outs = self._combined_dispatch_once(
+            jnp.asarray(small), tuple(jnp.asarray(p) for p in payload),
+            page_batch,
+        )
+        shapes = [
+            (o.shape, o.dtype) for o in outs if o is not None
+        ]
+
+        @jax.jit
+        def move(small_u8, *crop_payload):
+            # Touch every uploaded byte (cheap reduction), then emit the
+            # exact download footprint.
+            s = small_u8.astype(jnp.int32).sum()
+            for p in crop_payload:
+                s = s + p.astype(jnp.int32).sum()
+            return tuple(
+                jnp.full(sh, s.astype(jnp.int32) & 0, dt)
+                + jnp.zeros((), dt)
+                for sh, dt in shapes
+            )
+
+        def once():
+            outs = move(jnp.asarray(small),
+                        *[jnp.asarray(p) for p in payload])
+            for o in outs:
+                np.asarray(o)
+
+        once()  # compile + warm
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            once()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return page_batch / best
+
     def _unpack_stage_a(self, packed, heights_q, sep_q):
         """Host side of the stage-A artifact transport: 4x 2-bit pixels
         per byte -> masks; quarter-res heights upsampled 4x back;
@@ -902,7 +1068,9 @@ class TPUPagePipeline:
         (b_list, h_list, clusters): paragraph ids from the reference's
         separator-penalty clustering over the transported separator map
         (None when clustering is off)."""
-        baselines_masks, connecteds, heights_maps, sep_maps = masks
+        baselines_masks, connecteds, heights_maps, sep_maps = (
+            masks if masks is not None else (None, None, None, None)
+        )
         page_lines = []
         for slot, i in enumerate(ids):
             if lines_override is not None:

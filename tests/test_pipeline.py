@@ -427,6 +427,76 @@ class TestStripTransport:
             assert r.labels is None
 
 
+class TestInstrumentation:
+    """Weather-independent bench submetrics (VERDICT r2 next-round #2):
+    K-chained device time and the transport byte-floor probe must run
+    and return sane positive numbers on the real payload shapes."""
+
+    def _make(self, trim=True):
+        parsenet = ParseNet(base_features=4, depth=2)
+        pn_params = parsenet.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
+        )
+        spec = RecognizerSpec(
+            num_classes=8, line_height=16, conv_features=(4, 8),
+            subsampling=2, lstm_layers=1, lstm_features=8,
+        )
+        recognizer = CTCRecognizer(spec)
+        rec_params = recognizer.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 16, 64, 3), jnp.float32)
+        )
+        return TPUPagePipeline(
+            parsenet, pn_params, recognizer, rec_params,
+            downsample=4, crop_height=16, crop_bucket=256, line_slot=8,
+            transport="crops", transport_bits=4, trim_crops=trim,
+        )
+
+    @pytest.mark.parametrize("trim", [True, False])
+    def test_device_ms(self, trim):
+        p = self._make(trim)
+        ms = p.measure_device_ms(
+            synthetic_pages(2), fixed_lines, page_batch=2, k=3, reps=1
+        )
+        assert np.isfinite(ms)
+
+    def test_transport_floor(self):
+        p = self._make()
+        floor = p.measure_transport_floor(
+            synthetic_pages(2), fixed_lines, page_batch=2, reps=2
+        )
+        assert floor > 0
+
+    def test_device_ms_cnn_lines(self):
+        """lines_override=None path: masks come from a real stage-A
+        dispatch."""
+        p = self._make()
+        ms = p.measure_device_ms(
+            synthetic_pages(2), None, page_batch=2, k=3, reps=1
+        )
+        assert np.isfinite(ms)
+
+    def test_page_transport_rejected(self):
+        parsenet = ParseNet(base_features=4, depth=2)
+        pn_params = parsenet.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
+        )
+        spec = RecognizerSpec(
+            num_classes=8, line_height=16, conv_features=(4, 8),
+            subsampling=2, lstm_layers=1, lstm_features=8,
+        )
+        recognizer = CTCRecognizer(spec)
+        rec_params = recognizer.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 16, 64, 3), jnp.float32)
+        )
+        p = TPUPagePipeline(
+            parsenet, pn_params, recognizer, rec_params,
+            downsample=4, crop_height=16, crop_bucket=256, line_slot=8,
+            transport="page",
+        )
+        with pytest.raises(ValueError, match="crops"):
+            p.measure_device_ms(synthetic_pages(2), fixed_lines, 2)
+
+
 class TestWantLogits:
     """Opt-in top-k sparse logits download (VERDICT r2 next-round #3):
     unlocks logits pickles / forced alignment / ALTO at fast-path
