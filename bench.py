@@ -160,7 +160,13 @@ def warm(pages, pipeline, lines_override):
 
 
 def bench_beam_lm():
-    """Config-3 shape: TPU beam search + in-graph LM over stored logits."""
+    """Config-3 shape: TPU beam search + in-graph LM over stored logits.
+
+    Measures TWO rescoring-LM configs interleaved in one process (the
+    beam scan is LM-bound, so the cell choice IS the throughput lever):
+    the r1/r2 LSTM 2x512 for continuity, and the recommended light-step
+    GRU 1x512 (models/charlm.CharLMSpec cell_type; parity-tested against
+    the host decoder for both cells).  Returns (gru, lstm) lines/s."""
     import jax
     import jax.numpy as jnp
 
@@ -170,23 +176,41 @@ def bench_beam_lm():
 
     n_chars = 80
     letters = [chr(0x21 + i) for i in range(n_chars)] + [BLANK_SYMBOL]
-    spec = CharLMSpec(
-        vocab_size=n_chars + 1, embed_dim=64, hidden_dim=512, num_layers=2
-    )
-    model = CharLM(spec)
-    variables = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 1), jnp.int32))
-    decoder = TPUBeamSearchDecoder(
-        letters, k=8, lm=(model, variables), lm_scale=0.5, max_len=256
-    )
+
+    def make_decoder(cell, layers):
+        spec = CharLMSpec(
+            vocab_size=n_chars + 1, embed_dim=64, hidden_dim=512,
+            num_layers=layers, cell_type=cell,
+        )
+        model = CharLM(spec)
+        variables = model.init(
+            jax.random.PRNGKey(1), jnp.zeros((1, 1), jnp.int32)
+        )
+        return TPUBeamSearchDecoder(
+            letters, k=8, lm=(model, variables), lm_scale=0.5, max_len=256
+        )
+
+    dec_gru = make_decoder("gru", 1)
+    dec_lstm = make_decoder("lstm", 2)
 
     rng = np.random.default_rng(2)
     frames = 128
     probs = rng.dirichlet(np.ones(n_chars + 1), size=(N_TEXT_ROWS, frames))
     logprobs = np.log(probs).astype(np.float32)
 
-    decoder.decode_batch(logprobs)  # compile + warm
-    elapsed = best_of(3, lambda: decoder.decode_batch(logprobs))
-    return N_TEXT_ROWS / elapsed
+    dec_gru.decode_batch(logprobs)   # compile + warm
+    dec_lstm.decode_batch(logprobs)
+    best_gru = best_lstm = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        dec_gru.decode_batch(logprobs)
+        t_g = time.perf_counter() - t0
+        best_gru = t_g if best_gru is None else min(best_gru, t_g)
+        t0 = time.perf_counter()
+        dec_lstm.decode_batch(logprobs)
+        t_l = time.perf_counter() - t0
+        best_lstm = t_l if best_lstm is None else min(best_lstm, t_l)
+    return N_TEXT_ROWS / best_gru, N_TEXT_ROWS / best_lstm
 
 
 def bench_latency(pages, pipeline):
@@ -333,13 +357,16 @@ def main():
             file=sys.stderr,
         )
 
-        honest = beam = alto = latency = None
+        honest = beam = beam_lstm = alto = latency = None
         if not args.skip_extras:
             honest = BENCH_PAGES / min(honest_times)
             print(f"# honest_cnn: {honest:.2f} pages/s", file=sys.stderr)
 
-            beam = bench_beam_lm()
-            print(f"# beam_lm: {beam:.1f} lines/s", file=sys.stderr)
+            beam, beam_lstm = bench_beam_lm()
+            print(
+                f"# beam_lm: {beam:.1f} lines/s (gru 1x512); "
+                f"{beam_lstm:.1f} (lstm 2x512)", file=sys.stderr,
+            )
 
             alto = bench_alto_alignment()
             print(f"# alto_alignment: {alto:.1f} lines/s", file=sys.stderr)
@@ -361,6 +388,7 @@ def main():
         out["honest_cnn_pages_per_sec"] = round(honest, 3)
     if beam is not None:
         out["beam_lm_lines_per_sec"] = round(beam, 1)
+        out["beam_lm_lstm_lines_per_sec"] = round(beam_lstm, 1)
     if alto is not None:
         out["alto_alignment_lines_per_sec"] = round(alto, 1)
     if latency is not None:

@@ -62,6 +62,7 @@ def construct_lm(path: str, decoder_symbols, config_path: str = ""):
         embed_dim=spec_dict.get("embed_dim", 64),
         hidden_dim=spec_dict.get("hidden_dim", 512),
         num_layers=spec_dict.get("num_layers", 2),
+        cell_type=spec_dict.get("cell_type", "lstm"),
     )
     model = CharLM(spec)
     template = model.init(

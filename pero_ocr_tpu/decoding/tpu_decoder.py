@@ -171,7 +171,9 @@ class TPUBeamSearchDecoder:
         model, variables = self._lm_model, self._lm_variables
         from pero_ocr_tpu.models.charlm import CharLM
 
-        b, k = state[0][0].shape[:2]
+        # tree_leaves: LSTM states are (c, h) pairs per layer, GRU
+        # states bare h arrays — both have (B, K, H) leaves.
+        b, k = jax.tree_util.tree_leaves(state)[0].shape[:2]
         flat_state = jax.tree_util.tree_map(
             lambda x: x.reshape((b * k,) + x.shape[2:]), state
         )
@@ -189,7 +191,9 @@ class TPUBeamSearchDecoder:
         model, variables = self._lm_model, self._lm_variables
         from pero_ocr_tpu.models.charlm import CharLM
 
-        b, k = state[0][0].shape[:2]
+        # tree_leaves: LSTM states are (c, h) pairs per layer, GRU
+        # states bare h arrays — both have (B, K, H) leaves.
+        b, k = jax.tree_util.tree_leaves(state)[0].shape[:2]
         flat = jax.tree_util.tree_map(
             lambda x: x.reshape((b * k,) + x.shape[2:]), state
         )

@@ -34,6 +34,7 @@ class CharLMSpec:
     embed_dim: int = 64
     hidden_dim: int = 512
     num_layers: int = 2
+    cell_type: str = "lstm"         # "lstm" | "gru"
     dtype: Any = jnp.float32        # decode-side LM maths stays fp32
 
     @property
@@ -43,16 +44,26 @@ class CharLMSpec:
 
 
 class CharLM(nn.Module):
-    """LSTM character LM.  States are pytrees: a tuple of per-layer
-    LSTM (c, h) pairs, each (B, hidden_dim)."""
+    """Recurrent character LM.  States are pytrees: a tuple of per-layer
+    carries — LSTM (c, h) pairs or GRU h arrays, each (B, hidden_dim).
+
+    ``cell_type="gru"`` is the light-step option for the on-TPU beam
+    scan: the per-frame LM advance is the scan's serial bottleneck
+    (measured LM-bound on v5e), and a GRU step is 3 gate matmuls to the
+    LSTM's 4 with half the carry state to gather per beam."""
 
     spec: CharLMSpec
 
     def setup(self):
         sp = self.spec
+        if sp.cell_type not in ("lstm", "gru"):
+            raise ValueError(f"unknown cell_type {sp.cell_type!r}")
         self.embed = nn.Embed(sp.vocab_size, sp.embed_dim, dtype=sp.dtype)
+        cell_cls = (
+            nn.OptimizedLSTMCell if sp.cell_type == "lstm" else nn.GRUCell
+        )
         self.cells = [
-            nn.OptimizedLSTMCell(sp.hidden_dim, dtype=sp.dtype)
+            cell_cls(sp.hidden_dim, dtype=sp.dtype)
             for _ in range(sp.num_layers)
         ]
         self.head = nn.Dense(sp.vocab_size, dtype=jnp.float32)
@@ -60,6 +71,8 @@ class CharLM(nn.Module):
     def initial_state(self, batch_size: int):
         sp = self.spec
         zeros = jnp.zeros((batch_size, sp.hidden_dim), sp.dtype)
+        if sp.cell_type == "gru":
+            return tuple(zeros for _ in range(sp.num_layers))
         return tuple((zeros, zeros) for _ in range(sp.num_layers))
 
     def advance(self, tokens: jnp.ndarray, state):
@@ -73,7 +86,8 @@ class CharLM(nn.Module):
 
     def log_probs(self, state) -> jnp.ndarray:
         """(B, V) log-probabilities from the top layer's hidden output."""
-        h_top = state[-1][1]
+        top = state[-1]
+        h_top = top if self.spec.cell_type == "gru" else top[1]
         logits = self.head(h_top.astype(jnp.float32))
         return jax.nn.log_softmax(logits, axis=-1)
 

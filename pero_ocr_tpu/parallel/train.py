@@ -304,6 +304,7 @@ def export_lm_checkpoint(model, params, path: str) -> None:
                 "embed_dim": spec.embed_dim,
                 "hidden_dim": spec.hidden_dim,
                 "num_layers": spec.num_layers,
+                "cell_type": spec.cell_type,
             },
             f,
         )

@@ -80,6 +80,42 @@ def convert_lstm_layer(
     return gates
 
 
+def convert_gru_layer(
+    state_dict: Dict, prefix: str, layer: int
+) -> Dict[str, Dict[str, np.ndarray]]:
+    """One torch nn.GRU layer -> flax GRUCell params.
+
+    Both share r = sigma(W_ir x + W_hr h + b), z likewise, and
+    n = tanh(W_in x + b_in + r * (W_hn h + b_hn)); flax keeps no bias on
+    hr/hz, so those torch biases fold into ir/iz."""
+    w_ih = _np(state_dict[f"{prefix}.weight_ih_l{layer}"])  # (3H, in)
+    w_hh = _np(state_dict[f"{prefix}.weight_hh_l{layer}"])  # (3H, H)
+    b_ih = _np(
+        state_dict.get(f"{prefix}.bias_ih_l{layer}", np.zeros(w_ih.shape[0]))
+    )
+    b_hh = _np(
+        state_dict.get(f"{prefix}.bias_hh_l{layer}", np.zeros(w_hh.shape[0]))
+    )
+    hidden = w_hh.shape[1]
+
+    def gate(idx):
+        lo, hi = idx * hidden, (idx + 1) * hidden
+        return w_ih[lo:hi].T, w_hh[lo:hi].T, b_ih[lo:hi], b_hh[lo:hi]
+
+    # Torch gate order: r, z, n.
+    wi_r, wh_r, bi_r, bh_r = gate(0)
+    wi_z, wh_z, bi_z, bh_z = gate(1)
+    wi_n, wh_n, bi_n, bh_n = gate(2)
+    return {
+        "ir": {"kernel": wi_r, "bias": bi_r + bh_r},
+        "iz": {"kernel": wi_z, "bias": bi_z + bh_z},
+        "in": {"kernel": wi_n, "bias": bi_n},
+        "hr": {"kernel": wh_r},
+        "hz": {"kernel": wh_z},
+        "hn": {"kernel": wh_n, "bias": bh_n},
+    }
+
+
 def convert_layernorm(state_dict: Dict, prefix: str) -> Dict[str, np.ndarray]:
     return {
         "scale": _np(state_dict[prefix + ".weight"]),
@@ -217,11 +253,12 @@ def convert_torch_lm(
     head_prefix: str = "head",
     num_layers: Optional[int] = None,
 ) -> Dict:
-    """Torch char-LSTM LM -> CharLM flax variables.
+    """Torch char-RNN LM -> CharLM flax variables.
 
-    Expects an embedding, an nn.LSTM stack, and an output Linear; the
-    prefixes parameterize the source module's attribute names (brnolm
-    uses e.g. ``model``/``decoder``)."""
+    Expects an embedding, an nn.LSTM or nn.GRU stack, and an output
+    Linear; the prefixes parameterize the source module's attribute
+    names (brnolm uses e.g. ``model``/``decoder``).  The cell type is
+    detected from the gate-row count (4H rows = LSTM, 3H = GRU)."""
     if num_layers is None:
         num_layers = 0
         while f"{lstm_prefix}.weight_ih_l{num_layers}" in state_dict:
@@ -230,6 +267,18 @@ def convert_torch_lm(
         "embed": convert_embedding(state_dict, embed_prefix),
         "head": convert_linear(state_dict, head_prefix),
     }
+    w_ih = _np(state_dict[f"{lstm_prefix}.weight_ih_l0"])
+    w_hh = _np(state_dict[f"{lstm_prefix}.weight_hh_l0"])
+    gates = w_ih.shape[0] // w_hh.shape[1]
+    if gates == 3:
+        convert_layer = convert_gru_layer
+    elif gates == 4:
+        convert_layer = convert_lstm_layer
+    else:
+        raise ValueError(
+            f"unrecognized recurrent layer: {w_ih.shape[0]} gate rows for "
+            f"hidden size {w_hh.shape[1]}"
+        )
     for k in range(num_layers):
-        params[f"cells_{k}"] = convert_lstm_layer(state_dict, lstm_prefix, k)
+        params[f"cells_{k}"] = convert_layer(state_dict, lstm_prefix, k)
     return {"params": params}

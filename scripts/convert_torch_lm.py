@@ -48,7 +48,11 @@ def main():
     )
     params = variables["params"]
     vocab_size, embed_dim = params["embed"]["embedding"].shape
-    hidden_dim = params["cells_0"]["hi"]["kernel"].shape[0]
+    cell0 = params["cells_0"]
+    cell_type = "lstm" if "hi" in cell0 else "gru"
+    hidden_dim = cell0["hi" if cell_type == "lstm" else "hr"][
+        "kernel"
+    ].shape[0]
     num_layers = sum(1 for k in params if k.startswith("cells_"))
 
     save_variables(variables, args.output)
@@ -57,6 +61,7 @@ def main():
         "embed_dim": int(embed_dim),
         "hidden_dim": int(hidden_dim),
         "num_layers": int(num_layers),
+        "cell_type": cell_type,
     }
     if args.vocab_json:
         with open(args.vocab_json, encoding="utf8") as f:

@@ -17,11 +17,12 @@ from pero_ocr_tpu.utils.convert_torch import (
 
 
 class TorchLM(torch.nn.Module):
-    def __init__(self, vocab, embed, hidden, layers):
+    def __init__(self, vocab, embed, hidden, layers, cell="lstm"):
         super().__init__()
         self.embed = torch.nn.Embedding(vocab, embed)
-        self.lstm = torch.nn.LSTM(embed, hidden, num_layers=layers,
-                                  batch_first=True)
+        rnn_cls = torch.nn.LSTM if cell == "lstm" else torch.nn.GRU
+        self.lstm = rnn_cls(embed, hidden, num_layers=layers,
+                            batch_first=True)
         self.head = torch.nn.Linear(hidden, vocab)
 
     def forward(self, tokens):
@@ -32,10 +33,14 @@ class TorchLM(torch.nn.Module):
 
 class TestLMConversion:
     @pytest.mark.parametrize("layers", [1, 2])
-    def test_forward_parity(self, layers):
+    @pytest.mark.parametrize("cell", ["lstm", "gru"])
+    def test_forward_parity(self, layers, cell):
+        """Cell type is auto-detected from the gate-row count; GRU maps
+        torch's r/z/n gates onto flax GRUCell (hr/hz carry no bias, so
+        those torch biases fold into ir/iz)."""
         vocab, embed, hidden = 11, 6, 10
         torch.manual_seed(0)
-        tm = TorchLM(vocab, embed, hidden, layers).eval()
+        tm = TorchLM(vocab, embed, hidden, layers, cell).eval()
 
         variables = jax.tree_util.tree_map(
             jnp.asarray, convert_torch_lm(
@@ -44,7 +49,7 @@ class TestLMConversion:
         )
         spec = CharLMSpec(
             vocab_size=vocab, embed_dim=embed, hidden_dim=hidden,
-            num_layers=layers,
+            num_layers=layers, cell_type=cell,
         )
         model = CharLM(spec)
 

@@ -18,12 +18,15 @@ VOCAB = len(CHARS) + 1  # + </s>
 EOS = VOCAB - 1
 
 
-@pytest.fixture(scope="module")
-def trained_lm(tmp_path_factory):
+@pytest.fixture(scope="module", params=["lstm", "gru"])
+def trained_lm(tmp_path_factory, request):
     """LM trained on sequences of the language (abc)* — after 'a' comes
-    'b', after 'b' comes 'c', after 'c' comes 'a'."""
+    'b', after 'b' comes 'c', after 'c' comes 'a'.  Runs for both cell
+    types: the GRU is the light-step beam-throughput option and must
+    train, export, and reload identically."""
     d = tmp_path_factory.mktemp("lm")
-    spec = CharLMSpec(vocab_size=VOCAB, embed_dim=8, hidden_dim=32, num_layers=1)
+    spec = CharLMSpec(vocab_size=VOCAB, embed_dim=8, hidden_dim=32,
+                      num_layers=1, cell_type=request.param)
     model = CharLM(spec)
     optimizer = train_lib.make_optimizer(1e-2)
     state = train_lib.init_lm_train_state(model, optimizer, jax.random.PRNGKey(0))

@@ -14,9 +14,10 @@ from pero_ocr_tpu.models.charlm import CharLM, CharLMSpec
 SYMBOLS = ["a", "b", "c"]
 
 
-@pytest.fixture(scope="module")
-def wrapper():
-    spec = CharLMSpec(vocab_size=4, embed_dim=4, hidden_dim=6, num_layers=2)
+@pytest.fixture(scope="module", params=["lstm", "gru"])
+def wrapper(request):
+    spec = CharLMSpec(vocab_size=4, embed_dim=4, hidden_dim=6,
+                      num_layers=2, cell_type=request.param)
     model = CharLM(spec)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 1), jnp.int32))
     return JAXLMWrapper(model, variables, SYMBOLS)

@@ -142,13 +142,17 @@ class TestNoLengthCap:
 
 
 class TestLMFusionParity:
-    @pytest.fixture(scope="class")
-    def charlm(self):
+    # Both cell types must fuse identically into the beam scan (the GRU
+    # is the light-step option for beam+LM throughput; its state pytree
+    # is per-layer h arrays instead of (c, h) pairs).
+    @pytest.fixture(scope="class", params=["lstm", "gru"])
+    def charlm(self, request):
         from pero_ocr_tpu.models.charlm import CharLM, CharLMSpec
 
         spec = CharLMSpec(
             vocab_size=len(LETTERS),  # 3 chars + </s>
             embed_dim=4, hidden_dim=8, num_layers=1,
+            cell_type=request.param,
         )
         model = CharLM(spec)
         variables = model.init(
@@ -244,12 +248,13 @@ class TestCarryHOver:
     reference: pero_ocr/decoding/decoders.py:220-299 driven by
     page_parser.py:129-135)."""
 
-    @pytest.fixture(scope="class")
-    def charlm(self):
+    @pytest.fixture(scope="class", params=["lstm", "gru"])
+    def charlm(self, request):
         from pero_ocr_tpu.models.charlm import CharLM, CharLMSpec
 
         spec = CharLMSpec(
-            vocab_size=len(LETTERS), embed_dim=4, hidden_dim=8, num_layers=1
+            vocab_size=len(LETTERS), embed_dim=4, hidden_dim=8,
+            num_layers=1, cell_type=request.param,
         )
         model = CharLM(spec)
         variables = model.init(
