@@ -17,8 +17,15 @@ Differences from the stage-by-stage PageParser path:
   rebuilds the reference's csc record — unlocking logits pickles, forced
   alignment, and ALTO at fast-path throughput), and line crops only with
   ``want_crops=True`` (host re-warp);
-- the ParseNet adaptive-resolution second pass is skipped (fixed
-  downsample).
+- the ParseNet adaptive-resolution second pass follows the config's
+  ADAPTIVE_DOWNSAMPLE (sticky per-batch correction, integer scale
+  ladder — see TPUPagePipeline);
+- LAYOUT_CNN options the fast path does not implement
+  (MULTI_ORIENTATION, MERGE_LINES, ADJUST_HEIGHTS/BASELINES,
+  DETECT_STRAIGHT_LINES_IN_REGIONS), extra layout stages (LINE_FILTER,
+  postprocessing, sorters), and RUN_DECODER are REJECTED loudly:
+  :func:`FastPagePipeline.unsupported_features` lists them and
+  parse_folder falls back to the stage-by-stage path.
 
 Paragraph clustering IS preserved: the reference's separator-penalty
 clustering runs in the pipeline's host worker thread on a transported
@@ -38,6 +45,44 @@ from pero_ocr_tpu.layout_engines import helpers
 
 class FastPagePipeline:
     """Build from an existing PageParser's engines."""
+
+    @staticmethod
+    def unsupported_features(page_parser):
+        """Config features the fast path would silently change the
+        semantics of — the caller must fall back to the stage-by-stage
+        path (or drop the feature) when this is non-empty.  Every
+        LAYOUT_CNN option is either honored by the device pipeline or
+        listed here (reference option set:
+        pero_ocr/document_ocr/page_parser.py:237-298)."""
+        from pero_ocr_tpu.document.page_parser import LayoutExtractor
+
+        reasons = []
+        extractor = None
+        for lp in page_parser.layout_parsers:
+            if isinstance(lp, LayoutExtractor) and extractor is None:
+                extractor = lp
+            elif not isinstance(lp, LayoutExtractor):
+                reasons.append(
+                    f"extra layout stage {type(lp).__name__}"
+                )
+        if extractor is not None:
+            for flag, name in (
+                (extractor.multi_orientation, "MULTI_ORIENTATION"),
+                (extractor.merge_lines, "MERGE_LINES"),
+                (extractor.adjust_heights, "ADJUST_HEIGHTS"),
+                (extractor.adjust_baselines, "ADJUST_BASELINES"),
+                (extractor.detect_straight_lines_in_regions,
+                 "DETECT_STRAIGHT_LINES_IN_REGIONS"),
+            ):
+                if flag:
+                    reasons.append(name)
+            if not extractor.detect_regions or not extractor.detect_lines:
+                reasons.append("DETECT_REGIONS/DETECT_LINES disabled")
+        if page_parser.decoder is not None:
+            reasons.append("RUN_DECODER (beam/LM decoding stage)")
+        if page_parser.filter_confident_lines_threshold > 0:
+            reasons.append("FILTER_CONFIDENT_LINES_THRESHOLD")
+        return reasons
 
     def __init__(self, page_parser, page_batch: int = 4, max_lines=None,
                  line_slot: int = 32, crop_bucket: int = 2048, mesh=None,
@@ -102,6 +147,9 @@ class FastPagePipeline:
             transport=transport,
             want_logits=want_logits,
             logits_topk=logits_topk,
+            adaptive_downsample=bool(
+                getattr(parsenet_wrapper, "adaptive_downsample", False)
+            ),
         )
 
     def _attach_logits(self, line, result, i):

@@ -46,6 +46,7 @@ this degenerates to the pipelined single-stream below.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Callable, Iterable, Iterator, List, Optional, Sequence, Tuple
 
 import jax
@@ -102,6 +103,7 @@ class TPUPagePipeline:
         dither_2bit: bool = False,
         want_logits: bool = False,
         logits_topk: int = 8,
+        adaptive_downsample: bool = False,
     ):
         """``mesh``: optional jax.sharding.Mesh with a 'dp' axis — page
         batches shard across it (page_batch must be a multiple of the dp
@@ -145,7 +147,15 @@ class TPUPagePipeline:
         CTC recognizers only (AR transformers cannot produce CTC
         logits, same preflight as the reference:
         user_scripts/parse_folder.py:274-280).  Costs ~4*K bytes per
-        frame of download; keep it off on pure-throughput runs."""
+        frame of download; keep it off on pure-throughput runs.
+
+        ``adaptive_downsample``: the reference's two-pass resolution
+        adaptation (torch_parsenet.py:60-93) inside the batched loop:
+        when the detected median line height leaves the 9-15px map-pixel
+        band, the batch's stage A re-dispatches at the corrected scale
+        (quantized to an integer ladder so compiled shapes stay bounded)
+        and the corrected scale STICKS for subsequent batches (the
+        reference's last_downsample)."""
         if transport not in ("page", "crops"):
             raise ValueError("transport must be 'page' or 'crops'")
         if transport_bits not in ((2, 4, 8) if transport == "crops" else (4, 8)):
@@ -160,6 +170,9 @@ class TPUPagePipeline:
         self.mesh = mesh
         self.height_scale = height_scale  # LINE_CROPPER LINE_SCALE semantics
         self.downsample = downsample
+        self.adaptive_downsample = adaptive_downsample
+        # Reference's sticky last_downsample (torch_parsenet.py:28-35).
+        self._last_ds = downsample
         self.detection_threshold = detection_threshold
         self.line_end_weight = line_end_weight
         self.crop_height = crop_height
@@ -268,16 +281,19 @@ class TPUPagePipeline:
             sep_q = (sep_nib[:, :, 0::2] << 4) | sep_nib[:, :, 1::2]
             return packed, heights_q, sep_q
 
-        @jax.jit
-        def stage_a(pages_u8):
+        @partial(jax.jit, static_argnums=(1,))
+        def stage_a(pages_u8, ds_run=ds):
             """pages_u8: (PB, H, W) uint8 GRAYSCALE full pages — the SAME
             upload stage B consumes (pages travel once, single-channel;
             the device area-downsamples for ParseNet and broadcasts to
-            the models' 3-channel input)."""
+            the models' 3-channel input).  ``ds_run`` is static: the
+            adaptive second pass re-dispatches the SAME uploaded pages at
+            a corrected integer scale (one compile per ladder entry)."""
             x = pages_u8.astype(jnp.float32)[..., None]  # (PB, H, W, 1)
             small = jax.lax.reduce_window(
-                x, 0.0, jax.lax.add, (1, ds, ds, 1), (1, ds, ds, 1), "VALID"
-            ) / (ds * ds)
+                x, 0.0, jax.lax.add, (1, ds_run, ds_run, 1),
+                (1, ds_run, ds_run, 1), "VALID"
+            ) / (ds_run * ds_run)
             # Pad to multiples of 64 for the U-Net.
             h64 = int(np.ceil(small.shape[1] / 64) * 64)
             w64 = int(np.ceil(small.shape[2] / 64) * 64)
@@ -522,7 +538,8 @@ class TPUPagePipeline:
 
             batch_sh = NamedSharding(mesh, P("dp"))
             stage_a = jax.jit(
-                stage_a.__wrapped__, in_shardings=(batch_sh,)
+                stage_a.__wrapped__, static_argnums=(1,),
+                in_shardings=(batch_sh,),
             )
             stage_a_small = jax.jit(
                 stage_a_small.__wrapped__, in_shardings=(batch_sh,)
@@ -651,10 +668,10 @@ class TPUPagePipeline:
             return page
         return cv2.cvtColor(page, cv2.COLOR_BGR2GRAY)
 
-    def _canvas(self, page: np.ndarray) -> np.ndarray:
+    def _canvas(self, page: np.ndarray, ds: Optional[int] = None) -> np.ndarray:
         import cv2
 
-        ds = self.downsample
+        ds = self.downsample if ds is None else ds
         small = cv2.resize(
             page, (0, 0), fx=1 / ds, fy=1 / ds, interpolation=cv2.INTER_AREA
         )
@@ -663,6 +680,43 @@ class TPUPagePipeline:
         canvas = np.zeros((h, w), np.uint8)
         canvas[: small.shape[0], : small.shape[1]] = small
         return canvas
+
+    # ------------------------------------------------------------------
+    # Adaptive-resolution second pass (reference semantics:
+    # torch_parsenet.py:28-35, :60-93 — median detected line height
+    # steered into the [9, 15] map-pixel processing band, optimal 12,
+    # correction sticky across batches).  The reference adapts with a
+    # continuous downsample; here the scale quantizes to an integer
+    # ladder so each entry compiles at most one extra program shape.
+    ADAPT_MIN_H = 9.0
+    ADAPT_MAX_H = 15.0
+    ADAPT_OPT_H = 12.0
+    ADAPT_PIXEL_THRESHOLD = 100
+    ADAPT_DS_LADDER = (1, 2, 3, 4, 6, 8)
+
+    def _adapt_target_ds(self, masks, ds_used: int) -> Optional[int]:
+        """Corrected sticky downsample for a batch, or None to keep the
+        current scale.  Median is over the whole batch (the reference
+        adapts per page; pages within a batch share a dispatch here)."""
+        baselines_masks, _, heights_maps, _ = masks
+        sel = baselines_masks > 0
+        if sel.sum() <= self.ADAPT_PIXEL_THRESHOLD:
+            return None
+        # heights_maps hold FULL-map-resolution ascender heights in map
+        # pixels (channel 0), like the reference's out_map[:, :, 0].
+        med = float(np.median(heights_maps[sel][:, 0]))
+        if self.ADAPT_MIN_H <= med <= self.ADAPT_MAX_H:
+            return None
+        target = ds_used * med / self.ADAPT_OPT_H
+        ladder = np.asarray(self.ADAPT_DS_LADDER, float)
+        corrected = int(
+            ladder[np.argmin(np.abs(ladder - np.clip(target, 1, 8)))]
+        )
+        self._last_ds = corrected
+        ratio = corrected / ds_used
+        if 0.8 < ratio < 1.2:
+            return None  # close enough; keep this batch's first pass
+        return corrected
 
     # Max deviation (px) of interior baseline points from the chord below
     # which a line counts as straight and takes the affine fast path.
@@ -788,13 +842,15 @@ class TPUPagePipeline:
         return (self._pack_strip(strip), offsets, widths), widths_all
 
     def _lines_from_masks(
-        self, baselines_mask, connected, heights_map
+        self, baselines_mask, connected, heights_map, ds: Optional[int] = None
     ) -> Tuple[List[np.ndarray], List[List[float]]]:
         """Host part of the layout parse (same logic as
-        LayoutEngine.parse, cnn_engine.py)."""
+        LayoutEngine.parse, cnn_engine.py).  ``ds`` is the scale the
+        masks were produced at (the adaptive pass can change it per
+        batch)."""
         from pero_ocr_tpu.ops.morphology import connected_components
 
-        ds = self.downsample
+        ds = self.downsample if ds is None else ds
         labels_img, num = connected_components(connected)
         labels_img = labels_img * baselines_mask
 
@@ -902,8 +958,14 @@ class TPUPagePipeline:
             small = self._pack4(small)
         small_dev = jnp.asarray(small)
         if lines_override is None:
+            # stage_a_small consumes the UNPACKED canvas (the combined
+            # programs unpack inside; the standalone one does not).
+            sd = (
+                self._unpack4(small_dev)
+                if self.transport_bits in (2, 4) else small_dev
+            )
             masks = self._unpack_stage_a(
-                *[np.asarray(o) for o in self._stage_a_small(small_dev)]
+                *[np.asarray(o) for o in self._stage_a_small(sd)]
             )
         else:
             masks = None
@@ -1059,7 +1121,7 @@ class TPUPagePipeline:
         ).repeat(2, axis=1).repeat(2, axis=2)
         return baselines_masks, connecteds, heights_maps, sep_maps
 
-    def _batch_lines(self, pages, ids, lines_override, masks):
+    def _batch_lines(self, pages, ids, lines_override, masks, ds=None):
         """Per-page line sets for one batch + the padded slot count.
 
         The line axis pads to the densest page in the batch, rounded up
@@ -1078,7 +1140,7 @@ class TPUPagePipeline:
             else:
                 b_list, h_list = self._lines_from_masks(
                     baselines_masks[slot], connecteds[slot],
-                    heights_maps[slot],
+                    heights_maps[slot], ds,
                 )
             if self.max_lines is not None:
                 b_list = b_list[: self.max_lines]
@@ -1088,7 +1150,7 @@ class TPUPagePipeline:
             # that carry no separator clustering (and on a 1-core host
             # every worker millisecond competes with the main thread).
             clusters = (
-                self._cluster_lines(b_list, h_list, sep_maps[slot])
+                self._cluster_lines(b_list, h_list, sep_maps[slot], ds)
                 if lines_override is None else None
             )
             page_lines.append((b_list, h_list, clusters))
@@ -1099,7 +1161,7 @@ class TPUPagePipeline:
         )
         return page_lines, max_n, n_slot
 
-    def _cluster_lines(self, b_list, h_list, sep_map):
+    def _cluster_lines(self, b_list, h_list, sep_map, ds=None):
         """Paragraph ids via the layout engine's separator-penalty
         clustering (reference: cnn_layout_engine.py:330-372), running in
         the host worker thread on the transported separator map."""
@@ -1113,7 +1175,7 @@ class TPUPagePipeline:
         ]
         clusters = self._clusterer.make_clusters(
             [np.asarray(b) for b in b_list], h_list, t_list, sep_map,
-            self.downsample,
+            self.downsample if ds is None else ds,
         )
         return list(np.asarray(clusters).tolist())
 
@@ -1179,7 +1241,10 @@ class TPUPagePipeline:
             else:
                 stack = jnp.asarray(grays)
             device_pages[batch_idx] = stack
-            stage_a_out[batch_idx] = self._stage_a(stack)
+            # Sticky adaptive scale: the first pass runs at the scale
+            # the last correction settled on (reference last_downsample).
+            ds0 = self._last_ds if self.adaptive_downsample else self.downsample
+            stage_a_out[batch_idx] = (self._stage_a(stack, ds0), ds0)
 
         # Uploads block on the host link, so the NEXT batch's upload +
         # stage-A dispatch run on a worker thread while this thread syncs
@@ -1199,13 +1264,29 @@ class TPUPagePipeline:
                 pending = uploader.submit(dispatch_a, batch_idx + 1)
 
             with stage_timer("pipeline/stage_a_sync"):
+                outs_a, ds_used = stage_a_out[batch_idx]
                 packed, heights_q, sep_q = jax.tree_util.tree_map(
-                    np.asarray, stage_a_out[batch_idx]
+                    np.asarray, outs_a
                 )
+            masks = self._unpack_stage_a(packed, heights_q, sep_q)
+            if self.adaptive_downsample and lines_override is None:
+                ds2 = self._adapt_target_ds(masks, ds_used)
+                if ds2 is not None:
+                    # Second pass at the corrected scale: the pages are
+                    # already on device, so this is one extra dispatch +
+                    # mask fetch, no re-upload (reference:
+                    # torch_parsenet.py:88-93).
+                    with stage_timer("pipeline/stage_a_second_pass"):
+                        masks = self._unpack_stage_a(
+                            *jax.tree_util.tree_map(
+                                np.asarray,
+                                self._stage_a(device_pages[batch_idx], ds2),
+                            )
+                        )
+                    ds_used = ds2
             with stage_timer("pipeline/host_geometry"):
                 page_lines, max_n, n_slot = self._batch_lines(
-                    pages, ids, lines_override,
-                    self._unpack_stage_a(packed, heights_q, sep_q),
+                    pages, ids, lines_override, masks, ds_used,
                 )
 
             labels_dev = lengths_dev = confs_dev = None
@@ -1289,16 +1370,21 @@ class TPUPagePipeline:
 
         def prep(batch_idx):
             """Host image work for one batch (worker thread): grayscale
-            + 1/ds canvas + optional nibble packing."""
+            + 1/ds canvas + optional nibble packing.  The canvas scale is
+            the sticky adaptive downsample (reference last_downsample)."""
             ids = batches[batch_idx]
             padded = ids + [ids[-1]] * (page_batch - len(ids))
             grays = np.stack([self._gray(pages[i]) for i in padded])
-            small = np.stack([self._canvas(g) for g in grays])
+            ds0 = (
+                self._last_ds if self.adaptive_downsample
+                else self.downsample
+            )
+            small = np.stack([self._canvas(g, ds0) for g in grays])
             if self.transport_bits in (2, 4):
                 small = self._pack4(small)
-            return grays, small
+            return grays, small, ds0
 
-        def geometry_and_warp(bi, grays, masks):
+        def geometry_and_warp(bi, grays, masks, ds_used):
             """Worker-thread job: CC line parse + host crop warp + pack
             for one batch.  Returns (ids, geoms, payload|None, n_slot);
             the payload is the packed dense buffer (trim_crops=False) or
@@ -1306,7 +1392,7 @@ class TPUPagePipeline:
             ids = batches[bi]
             with stage_timer("pipeline/host_geometry"):
                 page_lines, max_n, n_slot = self._batch_lines(
-                    pages, ids, lines_override, masks
+                    pages, ids, lines_override, masks, ds_used
                 )
             if self.trim_crops:
                 with stage_timer("pipeline/host_warp"):
@@ -1364,7 +1450,7 @@ class TPUPagePipeline:
         for bi in range(n_batches + lag):
             if bi < n_batches:
                 with stage_timer("pipeline/prep"):
-                    grays, small = prep_f.result()
+                    grays, small, ds_used = prep_f.result()
                 if bi + 1 < n_batches:
                     prep_f = uploader.submit(prep, bi + 1)
                 small_dev = jnp.asarray(small)
@@ -1447,8 +1533,32 @@ class TPUPagePipeline:
                 masks = self._unpack_stage_a(
                     fetched[0], fetched[1], fetched[2]
                 )
+                if self.adaptive_downsample and lines_override is None:
+                    ds2 = self._adapt_target_ds(masks, ds_used)
+                    if ds2 is not None:
+                        # Second pass at the corrected scale: re-resize
+                        # on host (the full page never crossed the link
+                        # in crop transport) and run the standalone
+                        # stage-A program on the corrected canvas.
+                        with stage_timer("pipeline/stage_a_second_pass"):
+                            small2 = np.stack(
+                                [self._canvas(g, ds2) for g in grays]
+                            )
+                            if self.transport_bits in (2, 4):
+                                small2 = self._unpack4(
+                                    jnp.asarray(self._pack4(small2))
+                                )
+                            else:
+                                small2 = jnp.asarray(small2)
+                            masks = self._unpack_stage_a(
+                                *jax.tree_util.tree_map(
+                                    np.asarray,
+                                    self._stage_a_small(small2),
+                                )
+                            )
+                        ds_used = ds2
                 warp_futures[bi] = warper.submit(
-                    geometry_and_warp, bi, grays, masks
+                    geometry_and_warp, bi, grays, masks, ds_used
                 )
 
             if entry is not None:

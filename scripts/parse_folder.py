@@ -448,6 +448,21 @@ def main():
     profile_ctx = jax_profile(args.profile)
     profile_ctx.__enter__()
     if args.fast_pipeline:
+        from pero_ocr_tpu.document.fast_pipeline import FastPagePipeline
+
+        # Loud rejection instead of silent semantic drift: configs
+        # requesting layout features the device pipeline does not
+        # implement fall back to the stage-by-stage path (VERDICT r2
+        # next-round #6; reference option set:
+        # pero_ocr/document_ocr/page_parser.py:237-298).
+        unsupported = FastPagePipeline.unsupported_features(page_parser)
+        if unsupported:
+            logging.warning(
+                "--fast-pipeline does not support %s; falling back to "
+                "the stage-by-stage path.", ", ".join(unsupported),
+            )
+            args.fast_pipeline = False
+    if args.fast_pipeline:
         if args.transport_bits == 2 and args.transport != "crops":
             logging.error(
                 "--transport-bits 2 requires --transport crops "

@@ -427,6 +427,98 @@ class TestStripTransport:
             assert r.labels is None
 
 
+class TestAdaptiveDownsample:
+    """The reference's two-pass resolution adaptation inside the batched
+    pipeline (VERDICT r2 next-round #6; reference:
+    torch_parsenet.py:60-93): median detected line height steered into
+    the [9, 15] map-px band, correction sticky across batches."""
+
+    def _make(self, transport="crops", **kw):
+        parsenet = ParseNet(base_features=4, depth=2)
+        pn_params = parsenet.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
+        )
+        spec = RecognizerSpec(
+            num_classes=8, line_height=16, conv_features=(4, 8),
+            subsampling=2, lstm_layers=1, lstm_features=8,
+        )
+        recognizer = CTCRecognizer(spec)
+        rec_params = recognizer.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 16, 64, 3), jnp.float32)
+        )
+        return TPUPagePipeline(
+            parsenet, pn_params, recognizer, rec_params,
+            downsample=4, crop_height=16, crop_bucket=256, line_slot=8,
+            transport=transport, transport_bits=8,
+            adaptive_downsample=True, **kw
+        )
+
+    def _masks(self, asc, n_px=400):
+        base = np.zeros((1, 64, 64), np.uint8)
+        base[0].flat[:n_px] = 1
+        heights = np.zeros((1, 64, 64, 2), np.float32)
+        heights[..., 0] = asc
+        heights[..., 1] = asc / 3
+        return base, base.copy(), heights, np.zeros((1, 32, 32), np.float32)
+
+    def test_oversize_lines_coarsen_scale(self):
+        """Median height 24 map-px at ds=4 -> corrected to 8 (24/12*4),
+        rerun required, sticky updated."""
+        p = self._make()
+        ds2 = p._adapt_target_ds(self._masks(24.0), 4)
+        assert ds2 == 8
+        assert p._last_ds == 8
+
+    def test_tiny_lines_refine_scale(self):
+        p = self._make()
+        ds2 = p._adapt_target_ds(self._masks(5.0), 4)
+        assert ds2 == 2  # 5/12*4 = 1.67 -> nearest ladder entry 2
+        assert p._last_ds == 2
+
+    def test_in_band_keeps_scale(self):
+        p = self._make()
+        assert p._adapt_target_ds(self._masks(12.0), 4) is None
+        assert p._last_ds == 4
+
+    def test_too_few_pixels_keeps_scale(self):
+        p = self._make()
+        assert p._adapt_target_ds(self._masks(24.0, n_px=50), 4) is None
+        assert p._last_ds == 4
+
+    def test_clip_to_ladder_edge_no_rerun(self):
+        """At ds=8 with oversize lines the target clips back to 8:
+        sticky stays, no second pass."""
+        p = self._make()
+        assert p._adapt_target_ds(self._masks(24.0), 8) is None
+        assert p._last_ds == 8
+
+    @pytest.mark.parametrize("transport", ["crops", "page"])
+    def test_second_pass_executes(self, transport):
+        """Force one correction and run end-to-end: the batch re-runs
+        stage A at the corrected scale (new compiled shape) and the CC
+        parse consumes the corrected masks without error."""
+        p = self._make(transport=transport)
+        calls = []
+        orig = p._adapt_target_ds
+
+        def force_once(masks, ds_used):
+            calls.append(ds_used)
+            if len(calls) == 1:
+                p._last_ds = 2
+                return 2
+            return orig(masks, ds_used)
+
+        p._adapt_target_ds = force_once
+        results = list(p.run(synthetic_pages(6), page_batch=2))
+        assert len(results) == 6
+        assert calls and calls[0] == 4
+        # Sticky scale, one-batch lag: batch 1's prep was already in
+        # flight when batch 0 adapted, so the correction lands on batch
+        # 2's first pass (the reference's last_downsample likewise only
+        # affects FUTURE pages, torch_parsenet.py:67-69).
+        assert calls[1] == 4 and calls[2] == 2
+
+
 class TestInstrumentation:
     """Weather-independent bench submetrics (VERDICT r2 next-round #2):
     K-chained device time and the transport byte-floor probe must run
