@@ -10,9 +10,14 @@
 // Build: `make -C native` -> native/libperotpu.so
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <vector>
+
+#ifdef __AVX2__
+#include <immintrin.h>
+#endif
 
 extern "C" {
 
@@ -129,6 +134,162 @@ void levenshtein_batch_i32(const int32_t* data_a, const int32_t* offsets_a,
 // skip_ok: s bytes; path_out: t int32 state indices.
 // Returns 0 on success, -1 when no valid path exists.
 // ---------------------------------------------------------------------
+// ---------------------------------------------------------------------
+// Batched inverse-map affine line warp (the crop-transport host warp's
+// straight-baseline fast path; curved lines keep the Python warp-field
+// route).  For each line n, output pixel (row y, col x) samples the
+// page bilinearly at
+//   sx = m[0]*x + m[1]*y + m[2],  sy = m[3]*x + m[4]*y + m[5]
+// (same convention as cv2.warpAffine WARP_INVERSE_MAP; float math, so
+// values may differ from cv2's 5-bit fixed-point interpolation by ~1
+// gray level).  Out-of-page samples are 0 (BORDER_CONSTANT).
+//
+// The destination is addressed per line as
+//   out[offsets[n] + x * stride_col + y * stride_row]
+// which lets one kernel fill both layouts the pipeline ships: the
+// width-major trimmed strip (stride_col = crop_h, stride_row = 1) and
+// the dense (Hc, bucket) buffer (stride_col = 1, stride_row = bucket).
+// ---------------------------------------------------------------------
+void warp_affine_lines_u8(const uint8_t* gray, int32_t h, int32_t w,
+                          const double* mats, const int32_t* widths,
+                          int32_t n_lines, int32_t crop_h,
+                          uint8_t* out, const int64_t* offsets,
+                          int64_t stride_col, int64_t stride_row) {
+    std::vector<uint8_t> row_tmp;
+    for (int32_t n = 0; n < n_lines; ++n) {
+        const double* m = mats + (size_t)n * 6;
+        uint8_t* base = out + offsets[n];
+        const int32_t width = widths[n];
+        row_tmp.resize(width);
+        // Row-major sampling order: along a destination ROW the source
+        // advances by (m[0], m[3]) ~ (sub-pixel, ~0) per step, so reads
+        // walk the page row contiguously (the column-major order jumps a
+        // full page pitch every sample and runs ~2x slower).  Rows
+        // render into a contiguous scratch first; the strip layout's
+        // strided store happens once per row afterwards.
+        for (int32_t y = 0; y < crop_h; ++y) {
+            double sx_d = m[1] * y + m[2];
+            double sy_d = m[4] * y + m[5];
+            int32_t x = 0;
+#ifdef __AVX2__
+            // 8 pixels per iteration; a 32-bit gather at byte index idx
+            // returns p00|p01 in its low two bytes, a second at idx + w
+            // returns p10|p11 — two gathers cover the whole 2x2
+            // bilinear footprint.  Lanes within 4 bytes of the page's
+            // right/bottom edge fall to the scalar tail (the gather
+            // would read past the buffer).
+            {
+                const __m256 lane = _mm256_setr_ps(0, 1, 2, 3, 4, 5, 6, 7);
+                const __m256 m0v = _mm256_set1_ps((float)m[0]);
+                const __m256 m3v = _mm256_set1_ps((float)m[3]);
+                const __m256 sx_row = _mm256_set1_ps((float)sx_d);
+                const __m256 sy_row = _mm256_set1_ps((float)sy_d);
+                const __m256 zero = _mm256_setzero_ps();
+                const __m256 xmax = _mm256_set1_ps((float)(w - 4));
+                const __m256 ymax = _mm256_set1_ps((float)(h - 2));
+                for (; x + 8 <= width; x += 8) {
+                    // Coordinates recomputed per block (fmadd from the
+                    // row origin) — no incremental float drift.
+                    const __m256 xv = _mm256_add_ps(
+                        lane, _mm256_set1_ps((float)x));
+                    const __m256 sx_v = _mm256_fmadd_ps(xv, m0v, sx_row);
+                    const __m256 sy_v = _mm256_fmadd_ps(xv, m3v, sy_row);
+                    const __m256 fx0 = _mm256_floor_ps(sx_v);
+                    const __m256 fy0 = _mm256_floor_ps(sy_v);
+                    const __m256 ok = _mm256_and_ps(
+                        _mm256_and_ps(_mm256_cmp_ps(fx0, zero, _CMP_GE_OQ),
+                                      _mm256_cmp_ps(fx0, xmax, _CMP_LT_OQ)),
+                        _mm256_and_ps(_mm256_cmp_ps(fy0, zero, _CMP_GE_OQ),
+                                      _mm256_cmp_ps(fy0, ymax, _CMP_LT_OQ)));
+                    if (_mm256_movemask_ps(ok) != 0xFF) break;
+                    const __m256i x0 = _mm256_cvtps_epi32(fx0);
+                    const __m256i y0 = _mm256_cvtps_epi32(fy0);
+                    const __m256i idx = _mm256_add_epi32(
+                        _mm256_mullo_epi32(y0, _mm256_set1_epi32(w)), x0);
+                    const __m256i idx2 = _mm256_add_epi32(
+                        idx, _mm256_set1_epi32(w));
+                    const __m256i top2 = _mm256_i32gather_epi32(
+                        (const int*)gray, idx, 1);
+                    const __m256i bot2 = _mm256_i32gather_epi32(
+                        (const int*)gray, idx2, 1);
+                    const __m256i mask8 = _mm256_set1_epi32(0xFF);
+                    const __m256 p00 = _mm256_cvtepi32_ps(
+                        _mm256_and_si256(top2, mask8));
+                    const __m256 p01 = _mm256_cvtepi32_ps(_mm256_and_si256(
+                        _mm256_srli_epi32(top2, 8), mask8));
+                    const __m256 p10 = _mm256_cvtepi32_ps(
+                        _mm256_and_si256(bot2, mask8));
+                    const __m256 p11 = _mm256_cvtepi32_ps(_mm256_and_si256(
+                        _mm256_srli_epi32(bot2, 8), mask8));
+                    const __m256 fx = _mm256_sub_ps(sx_v, fx0);
+                    const __m256 fy = _mm256_sub_ps(sy_v, fy0);
+                    const __m256 top = _mm256_add_ps(
+                        p00, _mm256_mul_ps(fx, _mm256_sub_ps(p01, p00)));
+                    const __m256 bot = _mm256_add_ps(
+                        p10, _mm256_mul_ps(fx, _mm256_sub_ps(p11, p10)));
+                    const __m256 v = _mm256_add_ps(
+                        _mm256_add_ps(top,
+                                      _mm256_mul_ps(fy,
+                                                    _mm256_sub_ps(bot, top))),
+                        _mm256_set1_ps(0.5f));
+                    const __m256i vi = _mm256_cvttps_epi32(v);
+                    // 8x int32 -> 8x uint8 (values already in [0, 255]).
+                    const __m256i packed16 = _mm256_packs_epi32(
+                        vi, _mm256_setzero_si256());
+                    const __m256i packed8 = _mm256_packus_epi16(
+                        packed16, _mm256_setzero_si256());
+                    const uint32_t lo =
+                        (uint32_t)_mm256_extract_epi32(packed8, 0);
+                    const uint32_t hi =
+                        (uint32_t)_mm256_extract_epi32(packed8, 4);
+                    std::memcpy(row_tmp.data() + x, &lo, 4);
+                    std::memcpy(row_tmp.data() + x + 4, &hi, 4);
+                }
+                sx_d = m[1] * y + m[2] + m[0] * x;
+                sy_d = m[4] * y + m[5] + m[3] * x;
+            }
+#endif
+            double sx = sx_d, sy = sy_d;
+            for (; x < width; ++x, sx += m[0], sy += m[3]) {
+                const int32_t x0 = (int32_t)std::floor(sx);
+                const int32_t y0 = (int32_t)std::floor(sy);
+                uint8_t value = 0;
+                if (x0 >= 0 && x0 + 1 < w && y0 >= 0 && y0 + 1 < h) {
+                    const float fx = (float)(sx - x0);
+                    const float fy = (float)(sy - y0);
+                    const uint8_t* p = gray + (size_t)y0 * w + x0;
+                    const float top = p[0] + fx * (p[1] - p[0]);
+                    const float bot = p[w] + fx * (p[w + 1] - p[w]);
+                    const float v = top + fy * (bot - top);
+                    value = (uint8_t)(v + 0.5f);
+                } else if (x0 >= -1 && x0 < w && y0 >= -1 && y0 < h) {
+                    const float fx = (float)(sx - x0);
+                    const float fy = (float)(sy - y0);
+                    const bool xl = x0 >= 0, xr = x0 + 1 < w;
+                    const bool yt = y0 >= 0, yb = y0 + 1 < h;
+                    const size_t idx = (size_t)y0 * w + x0;
+                    const float p00 = (xl && yt) ? gray[idx] : 0.f;
+                    const float p01 = (xr && yt) ? gray[idx + 1] : 0.f;
+                    const float p10 = (xl && yb) ? gray[idx + w] : 0.f;
+                    const float p11 = (xr && yb) ? gray[idx + w + 1] : 0.f;
+                    const float top = p00 + fx * (p01 - p00);
+                    const float bot = p10 + fx * (p11 - p10);
+                    const float v = top + fy * (bot - top);
+                    value = (uint8_t)std::min(255.f, std::max(0.f, v + 0.5f));
+                }
+                row_tmp[x] = value;
+            }
+            uint8_t* row = base + (int64_t)y * stride_row;
+            if (stride_col == 1) {
+                std::memcpy(row, row_tmp.data(), width);
+            } else {
+                for (int32_t i = 0; i < width; ++i)
+                    row[(int64_t)i * stride_col] = row_tmp[i];
+            }
+        }
+    }
+}
+
 int32_t viterbi_ctc_f32(const float* neg_logprobs_states, int32_t t,
                         int32_t s, const uint8_t* skip_ok,
                         int32_t* path_out) {

@@ -722,24 +722,17 @@ class TPUPagePipeline:
     # which a line counts as straight and takes the affine fast path.
     STRAIGHT_TOL_PX = 0.75
 
-    def _host_crop_line(self, gray: np.ndarray, bl, hh) -> np.ndarray:
-        """Warp ONE line to its (crop_height, w) strip (host; same warp
-        math as the stage-by-stage cropper, reference:
-        pero_ocr/core/crop_engine.py:54-99).
-
-        Straight baselines (the vast majority on print pages) take a
-        single inverse-affine ``cv2.warpAffine`` — ~60us/line vs ~700us
-        for the cubic warp-field build — mathematically identical there:
-        output column j sits at arc position j/scale along the chord, row
-        r at linspace(-asc, desc) along the normal.  Curved lines fall
-        back to the measured warp field + ``cv2.remap``."""
-        import cv2
-
-        hc = self.crop_height
+    def _line_affine(self, bl, hh):
+        """(2x3 inverse-map matrix, width) for a straight baseline, or
+        None for a curved one.  Output column j sits at arc position
+        j/scale along the chord, row r at linspace(-asc, desc) along
+        the normal — mathematically identical to the measured warp
+        field on a straight line."""
         bl = np.asarray(bl, float)
         asc, desc = np.asarray(hh, float) * self.height_scale
         chord = bl[-1] - bl[0]
         clen = float(np.hypot(chord[0], chord[1]))
+        hc = self.crop_height
         scale = hc / max(asc + desc, 1e-6)
         if len(bl) > 2 and clen > 1e-6:
             u = chord / clen
@@ -749,23 +742,28 @@ class TPUPagePipeline:
             )
         else:
             dev = 0.0
-        if dev <= self.STRAIGHT_TOL_PX and clen > 1e-6:
-            w = max(min(int(clen * scale), self.crop_bucket), 1)
-            u = chord / clen
-            nvec = np.array([-u[1], u[0]])
-            dv = (asc + desc) / max(hc - 1, 1)
-            p0 = bl[0] + nvec * (-asc)
-            m = np.array([
-                [u[0] / scale, nvec[0] * dv, p0[0]],
-                [u[1] / scale, nvec[1] * dv, p0[1]],
-            ])
-            return cv2.warpAffine(
-                gray, m, (w, hc),
-                flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
-                borderMode=cv2.BORDER_CONSTANT,
-            )
+        if dev > self.STRAIGHT_TOL_PX or clen <= 1e-6:
+            return None
+        w = max(min(int(clen * scale), self.crop_bucket), 1)
+        u = chord / clen
+        nvec = np.array([-u[1], u[0]])
+        dv = (asc + desc) / max(hc - 1, 1)
+        p0 = bl[0] + nvec * (-asc)
+        m = np.array([
+            [u[0] / scale, nvec[0] * dv, p0[0]],
+            [u[1] / scale, nvec[1] * dv, p0[1]],
+        ])
+        return m, w
+
+    def _curved_crop(self, gray: np.ndarray, bl, hh) -> np.ndarray:
+        """Measured warp field + cv2.remap for curved baselines (same
+        warp math as the stage-by-stage cropper, reference:
+        pero_ocr/core/crop_engine.py:54-99)."""
+        import cv2
+
         field = line_geometry.warp_field(
-            bl, np.asarray(hh, float) * self.height_scale, hc
+            np.asarray(bl, float),
+            np.asarray(hh, float) * self.height_scale, self.crop_height,
         )
         w = min(field.shape[1], self.crop_bucket)
         return cv2.remap(
@@ -773,20 +771,103 @@ class TPUPagePipeline:
             cv2.INTER_LINEAR, borderMode=cv2.BORDER_CONSTANT,
         )
 
+    @staticmethod
+    def _native_warp_available() -> bool:
+        from pero_ocr_tpu.utils import native as native_lib
+
+        lib = native_lib.get_library()
+        return lib is not None and hasattr(lib, "warp_affine_lines_u8")
+
+    def _host_crop_line(self, gray: np.ndarray, bl, hh) -> np.ndarray:
+        """Warp ONE line to its (crop_height, w) strip.
+
+        Straight baselines (the vast majority on print pages) take a
+        single inverse-affine warp — the native C++ kernel when built
+        (native/perotpu.cpp), else ``cv2.warpAffine`` (~60us/line vs
+        ~700us for the cubic warp-field build).  Curved lines fall back
+        to the measured warp field + ``cv2.remap``."""
+        import cv2
+
+        aff = self._line_affine(bl, hh)
+        if aff is None:
+            return self._curved_crop(gray, bl, hh)
+        m, w = aff
+        hc = self.crop_height
+        if self._native_warp_available():
+            from pero_ocr_tpu.utils import native as native_lib
+
+            out = np.zeros((hc, w), np.uint8)
+            if native_lib.native_warp_affine_lines(
+                gray, m[None], np.asarray([w], np.int32), hc, out,
+                np.zeros(1, np.int64), 1, w,
+            ):
+                return out
+        return cv2.warpAffine(
+            gray, m, (w, hc),
+            flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
+            borderMode=cv2.BORDER_CONSTANT,
+        )
+
+    def _warp_straight_batch(
+        self, gray, entries, out, offsets_elem, stride_col, stride_row
+    ):
+        """Warp one page's straight lines into a caller-owned buffer:
+        ONE native call when the library is built (the page is mapped
+        once; VERDICT r2 next-round #9), else per-line cv2 + copy.
+        ``entries``: list of (affine matrix, width); ``offsets_elem``:
+        element offset of each line's (0, 0) output pixel."""
+        if not entries:
+            return
+        from pero_ocr_tpu.utils import native as native_lib
+
+        mats = np.stack([m for m, _ in entries])
+        widths = np.asarray([w for _, w in entries], np.int32)
+        if self._native_warp_available() and native_lib.native_warp_affine_lines(
+            gray, mats, widths, self.crop_height, out,
+            np.asarray(offsets_elem, np.int64), stride_col, stride_row,
+        ):
+            return
+        import cv2
+
+        hc = self.crop_height
+        flat = out.reshape(-1)
+        for (m, w), off in zip(entries, offsets_elem):
+            crop = cv2.warpAffine(
+                gray, m, (w, hc),
+                flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
+                borderMode=cv2.BORDER_CONSTANT,
+            )
+            # Strided view over the same addressing the kernel uses.
+            view = np.lib.stride_tricks.as_strided(
+                flat[off:], shape=(hc, w),
+                strides=(stride_row, stride_col),
+            )
+            view[:] = crop
+
     def _host_crops(
         self, gray: np.ndarray, b_list, h_list, n_slot: int
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Dense crop-transport buffer: per-line warps zero-padded into
-        (n_slot, Hc, crop_bucket) (the trim_crops=False layout)."""
-        crops = np.zeros(
-            (n_slot, self.crop_height, self.crop_bucket), np.uint8
-        )
+        (n_slot, Hc, crop_bucket) (the trim_crops=False layout).
+        Straight lines batch into one native warp call per page."""
+        hc, bucket = self.crop_height, self.crop_bucket
+        crops = np.zeros((n_slot, hc, bucket), np.uint8)
         widths = np.zeros(n_slot, np.int32)
+        straight, offs = [], []
         for i, (bl, hh) in enumerate(zip(b_list, h_list)):
-            crop = self._host_crop_line(gray, bl, hh)
-            w = crop.shape[1]
-            crops[i, :, :w] = crop
+            aff = self._line_affine(bl, hh)
+            if aff is None:
+                crop = self._curved_crop(gray, bl, hh)
+                w = crop.shape[1]
+                crops[i, :, :w] = crop
+            else:
+                m, w = aff
+                straight.append((m, w))
+                offs.append(i * hc * bucket)
             widths[i] = w
+        self._warp_straight_batch(
+            gray, straight, crops, offs, stride_col=1, stride_row=bucket
+        )
         return crops, widths
 
     # Floor (in columns) of the width-trimmed strip's pow2 shape ladder;
@@ -812,12 +893,16 @@ class TPUPagePipeline:
         """Width-trimmed crop payload for one batch: concatenate every
         line's valid crop columns into one width-major (W, Hc) strip
         (pow2-bucketed W, bit-packed along Hc) plus per-line int32
-        offsets/widths.  Returns ((strip, offsets, widths) | None,
-        per-page width arrays)."""
+        offsets/widths.  Straight lines warp DIRECTLY into the strip —
+        one native call per page with the page mapped once (the 1-core
+        host's hot loop; VERDICT r2 next-round #9).  Returns
+        ((strip, offsets, widths) | None, per-page width arrays)."""
+        hc = self.crop_height
         n_total = page_batch * n_slot
         offsets = np.zeros(n_total, np.int32)
         widths = np.zeros(n_total, np.int32)
-        line_crops = []  # (flat line index, (Hc, w) crop)
+        straight = {}    # slot -> ([(m, w)], [flat index])
+        curved = []      # (flat index, (Hc, w) crop)
         total = 0
         widths_all = []
         for slot, (b_list, h_list, _) in enumerate(page_lines):
@@ -825,19 +910,32 @@ class TPUPagePipeline:
                 widths_all.append(None)
                 continue
             for i, (bl, hh) in enumerate(zip(b_list, h_list)):
-                crop = self._host_crop_line(grays[slot], bl, hh)
                 j = slot * n_slot + i
+                aff = self._line_affine(bl, hh)
+                if aff is None:
+                    crop = self._curved_crop(grays[slot], bl, hh)
+                    w = crop.shape[1]
+                    curved.append((j, crop))
+                else:
+                    m, w = aff
+                    straight.setdefault(slot, ([], []))[0].append(aff)
+                    straight[slot][1].append(j)
                 offsets[j] = total
-                widths[j] = crop.shape[1]
-                total += crop.shape[1]
-                line_crops.append((j, crop))
+                widths[j] = w
+                total += w
             widths_all.append(
                 widths[slot * n_slot : slot * n_slot + len(b_list)].copy()
             )
         if total == 0:
             return None, widths_all
-        strip = np.zeros((self._strip_cols(total), self.crop_height), np.uint8)
-        for j, crop in line_crops:
+        strip = np.zeros((self._strip_cols(total), hc), np.uint8)
+        for slot, (entries, idxs) in straight.items():
+            self._warp_straight_batch(
+                grays[slot], entries, strip,
+                [offsets[j] * hc for j in idxs],
+                stride_col=hc, stride_row=1,
+            )
+        for j, crop in curved:
             strip[offsets[j] : offsets[j] + widths[j]] = crop.T
         return (self._pack_strip(strip), offsets, widths), widths_all
 

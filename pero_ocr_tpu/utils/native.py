@@ -83,6 +83,20 @@ def get_library() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float), ctypes.c_int32, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
         ]
+        try:
+            lib.warp_affine_lines_u8.restype = None
+            lib.warp_affine_lines_u8.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32,
+                ctypes.c_int32, ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+                ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                ctypes.c_int64,
+            ]
+        except AttributeError:
+            # Stale library built before the warp kernel existed; the
+            # warp helper degrades to the cv2 path.
+            pass
         _lib = lib
         return _lib
 
@@ -143,6 +157,34 @@ def native_levenshtein_batch(
         len(seqs_a), _ptr(out, ctypes.c_int32),
     )
     return out
+
+
+def native_warp_affine_lines(
+    gray: np.ndarray, mats: np.ndarray, widths: np.ndarray,
+    crop_h: int, out: np.ndarray, offsets: np.ndarray,
+    stride_col: int, stride_row: int,
+) -> bool:
+    """Batched straight-line inverse-affine warp into a caller-owned
+    buffer (the crop-transport host warp's fast path; see
+    native/perotpu.cpp warp_affine_lines_u8 for the addressing
+    contract).  Returns False when the library (or the symbol, for a
+    stale build) is unavailable."""
+    lib = get_library()
+    if lib is None or not hasattr(lib, "warp_affine_lines_u8"):
+        return False
+    gray = np.ascontiguousarray(gray, dtype=np.uint8)
+    mats = np.ascontiguousarray(mats, dtype=np.float64)
+    widths = np.ascontiguousarray(widths, dtype=np.int32)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    assert out.dtype == np.uint8 and out.flags["C_CONTIGUOUS"]
+    h, w = gray.shape
+    lib.warp_affine_lines_u8(
+        _ptr(gray, ctypes.c_uint8), h, w,
+        _ptr(mats, ctypes.c_double), _ptr(widths, ctypes.c_int32),
+        len(widths), crop_h, _ptr(out, ctypes.c_uint8),
+        _ptr(offsets, ctypes.c_int64), stride_col, stride_row,
+    )
+    return True
 
 
 def native_viterbi_ctc(

@@ -101,3 +101,76 @@ class TestNativeViterbi:
             from pero_ocr_tpu.core.force_alignment import force_align
 
             force_align(np.full((2, 3), 1.0), [1, 1], 0)
+
+
+class TestWarpAffineLines:
+    """The batched native line warp must match cv2.warpAffine
+    (INTER_LINEAR + WARP_INVERSE_MAP + BORDER_CONSTANT) within the
+    float-vs-fixed-point interpolation gap, in both output layouts the
+    pipeline ships (dense row-major and width-major strip)."""
+
+    def _case(self):
+        rng = np.random.default_rng(7)
+        gray = rng.integers(0, 256, (64, 96), np.uint8)
+        m = np.array([[0.55, 0.02, 3.2], [0.004, 0.93, 10.1]])
+        return gray, m, 40, 16
+
+    def test_matches_cv2_dense_layout(self):
+        import cv2
+
+        gray, m, w, hc = self._case()
+        out = np.zeros((hc, w), np.uint8)
+        ok = native.native_warp_affine_lines(
+            gray, m[None], np.asarray([w], np.int32), hc, out,
+            np.zeros(1, np.int64), stride_col=1, stride_row=w,
+        )
+        assert ok
+        ref = cv2.warpAffine(
+            gray, m, (w, hc),
+            flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
+            borderMode=cv2.BORDER_CONSTANT,
+        )
+        diff = np.abs(out.astype(int) - ref.astype(int))
+        assert diff.max() <= 2, diff.max()
+
+    def test_strip_layout_is_transposed_dense(self):
+        gray, m, w, hc = self._case()
+        dense = np.zeros((hc, w), np.uint8)
+        native.native_warp_affine_lines(
+            gray, m[None], np.asarray([w], np.int32), hc, dense,
+            np.zeros(1, np.int64), stride_col=1, stride_row=w,
+        )
+        strip = np.zeros((w, hc), np.uint8)
+        native.native_warp_affine_lines(
+            gray, m[None], np.asarray([w], np.int32), hc, strip,
+            np.zeros(1, np.int64), stride_col=hc, stride_row=1,
+        )
+        np.testing.assert_array_equal(strip.T, dense)
+
+    def test_multi_line_offsets(self):
+        gray, m, w, hc = self._case()
+        m2 = m.copy()
+        m2[:, 2] += 5.0
+        buf = np.zeros((2 * w, hc), np.uint8)
+        native.native_warp_affine_lines(
+            gray, np.stack([m, m2]), np.asarray([w, w], np.int32), hc,
+            buf, np.asarray([0, w * hc], np.int64),
+            stride_col=hc, stride_row=1,
+        )
+        one = np.zeros((w, hc), np.uint8)
+        native.native_warp_affine_lines(
+            gray, m2[None], np.asarray([w], np.int32), hc, one,
+            np.zeros(1, np.int64), stride_col=hc, stride_row=1,
+        )
+        np.testing.assert_array_equal(buf[w:], one)
+
+    def test_border_constant_zero(self):
+        gray, _, w, hc = self._case()
+        # Matrix mapping everything far outside the page.
+        m = np.array([[1.0, 0.0, 500.0], [0.0, 1.0, 500.0]])
+        out = np.full((hc, w), 99, np.uint8)
+        native.native_warp_affine_lines(
+            gray, m[None], np.asarray([w], np.int32), hc, out,
+            np.zeros(1, np.int64), stride_col=1, stride_row=w,
+        )
+        assert (out == 0).all()
