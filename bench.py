@@ -162,11 +162,12 @@ def warm(pages, pipeline, lines_override):
 def bench_beam_lm():
     """Config-3 shape: TPU beam search + in-graph LM over stored logits.
 
-    Measures TWO rescoring-LM configs interleaved in one process (the
-    beam scan is LM-bound, so the cell choice IS the throughput lever):
-    the r1/r2 LSTM 2x512 for continuity, and the recommended light-step
-    GRU 1x512 (models/charlm.CharLMSpec cell_type; parity-tested against
-    the host decoder for both cells).  Returns (gru, lstm) lines/s."""
+    A stored-logits decode through this tunnel is LINK-bound (a
+    40-line f32 batch uploads 1.7MB of log-probs and downloads int32
+    backpointers), so the serving configuration batches 4 pages of
+    lines per decode, ships log-probs float16, and downloads uint8
+    backpointers.  Also measures the r1/r2 single-page f32 shape for
+    continuity.  Returns (serving lines/s, legacy lines/s)."""
     import jax
     import jax.numpy as jnp
 
@@ -176,41 +177,45 @@ def bench_beam_lm():
 
     n_chars = 80
     letters = [chr(0x21 + i) for i in range(n_chars)] + [BLANK_SYMBOL]
+    spec = CharLMSpec(
+        vocab_size=n_chars + 1, embed_dim=64, hidden_dim=512,
+        num_layers=1, cell_type="gru",
+    )
+    model = CharLM(spec)
+    variables = model.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 1), jnp.int32)
+    )
 
-    def make_decoder(cell, layers):
-        spec = CharLMSpec(
-            vocab_size=n_chars + 1, embed_dim=64, hidden_dim=512,
-            num_layers=layers, cell_type=cell,
-        )
-        model = CharLM(spec)
-        variables = model.init(
-            jax.random.PRNGKey(1), jnp.zeros((1, 1), jnp.int32)
-        )
+    def make_decoder(dtype):
         return TPUBeamSearchDecoder(
-            letters, k=8, lm=(model, variables), lm_scale=0.5, max_len=256
+            letters, k=8, lm=(model, variables), lm_scale=0.5,
+            max_len=256, transport_dtype=dtype,
         )
 
-    dec_gru = make_decoder("gru", 1)
-    dec_lstm = make_decoder("lstm", 2)
+    dec_serving = make_decoder(np.float16)
+    dec_legacy = make_decoder(np.float32)
 
     rng = np.random.default_rng(2)
     frames = 128
-    probs = rng.dirichlet(np.ones(n_chars + 1), size=(N_TEXT_ROWS, frames))
-    logprobs = np.log(probs).astype(np.float32)
+    n_serving = 4 * N_TEXT_ROWS
+    probs_s = rng.dirichlet(np.ones(n_chars + 1), size=(n_serving, frames))
+    lp_serving = np.log(probs_s).astype(np.float32)
+    probs_l = rng.dirichlet(np.ones(n_chars + 1), size=(N_TEXT_ROWS, frames))
+    lp_legacy = np.log(probs_l).astype(np.float32)
 
-    dec_gru.decode_batch(logprobs)   # compile + warm
-    dec_lstm.decode_batch(logprobs)
-    best_gru = best_lstm = None
+    dec_serving.decode_batch(lp_serving)   # compile + warm
+    dec_legacy.decode_batch(lp_legacy)
+    best_s = best_l = None
     for _ in range(3):
         t0 = time.perf_counter()
-        dec_gru.decode_batch(logprobs)
-        t_g = time.perf_counter() - t0
-        best_gru = t_g if best_gru is None else min(best_gru, t_g)
+        dec_serving.decode_batch(lp_serving)
+        t_s = time.perf_counter() - t0
+        best_s = t_s if best_s is None else min(best_s, t_s)
         t0 = time.perf_counter()
-        dec_lstm.decode_batch(logprobs)
+        dec_legacy.decode_batch(lp_legacy)
         t_l = time.perf_counter() - t0
-        best_lstm = t_l if best_lstm is None else min(best_lstm, t_l)
-    return N_TEXT_ROWS / best_gru, N_TEXT_ROWS / best_lstm
+        best_l = t_l if best_l is None else min(best_l, t_l)
+    return n_serving / best_s, N_TEXT_ROWS / best_l
 
 
 def bench_latency(pages, pipeline):
@@ -357,15 +362,16 @@ def main():
             file=sys.stderr,
         )
 
-        honest = beam = beam_lstm = alto = latency = None
+        honest = beam = beam_legacy = alto = latency = None
         if not args.skip_extras:
             honest = BENCH_PAGES / min(honest_times)
             print(f"# honest_cnn: {honest:.2f} pages/s", file=sys.stderr)
 
-            beam, beam_lstm = bench_beam_lm()
+            beam, beam_legacy = bench_beam_lm()
             print(
-                f"# beam_lm: {beam:.1f} lines/s (gru 1x512); "
-                f"{beam_lstm:.1f} (lstm 2x512)", file=sys.stderr,
+                f"# beam_lm: {beam:.1f} lines/s (serving: 160-line "
+                f"batch, f16 transport); {beam_legacy:.1f} (legacy "
+                f"40-line f32)", file=sys.stderr,
             )
 
             alto = bench_alto_alignment()
@@ -388,7 +394,7 @@ def main():
         out["honest_cnn_pages_per_sec"] = round(honest, 3)
     if beam is not None:
         out["beam_lm_lines_per_sec"] = round(beam, 1)
-        out["beam_lm_lstm_lines_per_sec"] = round(beam_lstm, 1)
+        out["beam_lm_single_page_lines_per_sec"] = round(beam_legacy, 1)
     if alto is not None:
         out["alto_alignment_lines_per_sec"] = round(alto, 1)
     if latency is not None:

@@ -116,6 +116,12 @@ def decoder_factory(
         lm_scale = config.getfloat("LM_SCALE", fallback=1.0)
         insertion_bonus = config.getfloat("INSERTION_BONUS", fallback=0.0)
         max_len = config.getint("MAX_LEN", fallback=256)
+        # Stored-logits decodes through a slow host link are
+        # upload-bound; TRANSPORT_DTYPE = float16 halves those bytes
+        # (maths stay f32 on device).
+        transport_dtype = np.dtype(
+            config.get("TRANSPORT_DTYPE", fallback="float32")
+        ).type
         wrapper = lm_factory(config, full_characters[:-1], config_path=config_path)
         lm = None
         vocab_map = None
@@ -128,7 +134,7 @@ def decoder_factory(
         return TPUBeamSearchDecoder(
             full_characters, k=k, lm=lm, lm_scale=lm_scale,
             insertion_bonus=insertion_bonus, max_len=max_len,
-            vocab_map=vocab_map,
+            vocab_map=vocab_map, transport_dtype=transport_dtype,
         )
     if decoder_type == "GREEDY":
         return GreedyDecoder(full_characters)

@@ -88,6 +88,12 @@ class TPUBeamSearchDecoder:
             are reconstructed from per-frame backpointers, so hypothesis
             length is bounded only by the frame count (like the host
             decoder).
+        transport_dtype: dtype the (B, T, C) log-probs travel to the
+            device in.  The decode itself always runs float32; float16
+            halves the upload bytes, which DOMINATE a stored-logits
+            decode through a slow host link (a 160-line batch at V=81
+            uploads 6.7MB as f32).  Keep the float32 default where
+            bit-exact parity with the host decoder matters.
     """
 
     def __init__(
@@ -99,6 +105,7 @@ class TPUBeamSearchDecoder:
         insertion_bonus: float = 0.0,
         max_len: int = 256,
         vocab_map: Optional[np.ndarray] = None,
+        transport_dtype=np.float32,
     ):
         self.letters = list(letters)
         self.k = k
@@ -107,6 +114,7 @@ class TPUBeamSearchDecoder:
         self.max_len = max_len
         self.blank = len(letters) - 1
         self.vocab = len(letters) - 1  # non-blank chars
+        self.transport_dtype = transport_dtype
 
         if lm is not None:
             self._lm_model, self._lm_variables = lm
@@ -271,14 +279,16 @@ class TPUBeamSearchDecoder:
         continued = jnp.where(
             any_match, jnp.logaddexp(continued, join_lp), continued
         )
-        # Void the parent cells that were merged away.
-        parent_cell = (
-            jax.nn.one_hot(j_star, k, dtype=jnp.float32)[:, :, :, None]
-            * jax.nn.one_hot(beam.last_char, v, dtype=jnp.float32)[:, :, None, :]
-        )
-        parent_cell = (
-            parent_cell * any_match[:, :, None, None].astype(jnp.float32)
-        ).sum(axis=1) > 0  # (B, K, V)
+        # Void the parent cells that were merged away.  Contracted over
+        # the merging entry i as one small einsum (K x K by K x V per
+        # line) — the elementwise outer-product form materialized a
+        # (B, K, K, V) intermediate, the scan step's largest tensor.
+        parent_cell = jnp.einsum(
+            "bik,biv->bkv",
+            jax.nn.one_hot(j_star, k, dtype=jnp.float32)
+            * any_match[:, :, None].astype(jnp.float32),
+            jax.nn.one_hot(beam.last_char, v, dtype=jnp.float32),
+        ) > 0  # (B, K, V)
         extend = jnp.where(parent_cell, NEG_INF, extend)
 
         # --- totals + top-k -------------------------------------------
@@ -388,8 +398,16 @@ class TPUBeamSearchDecoder:
             lm_preds=sel(beam.lm_preds, new_beam.lm_preds),
         )
         identity = jnp.broadcast_to(jnp.arange(k)[None, :], (b, k))
-        bp_rows = jnp.where(active[:, None], rows, identity).astype(jnp.int32)
-        bp_cols = jnp.where(active[:, None], cols, v).astype(jnp.int32)
+        # Backpointers are the decode's DOWNLOAD: narrow them to the
+        # smallest dtype that fits (the T x B x K int32 pair was 4x the
+        # bytes and the link is the bottleneck for stored-logits jobs).
+        rows_dt = jnp.uint8 if k <= 256 else jnp.int32
+        cols_dt = (
+            jnp.uint8 if v + 1 <= 256
+            else (jnp.uint16 if v + 1 <= 65536 else jnp.int32)
+        )
+        bp_rows = jnp.where(active[:, None], rows, identity).astype(rows_dt)
+        bp_cols = jnp.where(active[:, None], cols, v).astype(cols_dt)
         return merged, (bp_rows, bp_cols)
 
     # ------------------------------------------------------------------
@@ -397,6 +415,8 @@ class TPUBeamSearchDecoder:
         self, logprobs, frame_lengths, model_eos: bool = False,
         init_lm_states=None,
     ):
+        # Maths always run f32; only the TRANSPORT may be f16.
+        logprobs = logprobs.astype(jnp.float32)
         b, t, c = logprobs.shape
         beam = self._init_beam(b, init_lm_states)
 
@@ -453,14 +473,14 @@ class TPUBeamSearchDecoder:
             frame_lengths = np.full(b, t, np.int32)
         (bp_rows, bp_cols), lengths, p_total, p_lm, best_states = (
             self._decode_jit(
-                jnp.asarray(logprobs, jnp.float32),
+                jnp.asarray(logprobs, self.transport_dtype),
                 jnp.asarray(frame_lengths, jnp.int32),
                 model_eos,
                 init_lm_states,
             )
         )
-        bp_rows = np.asarray(bp_rows)   # (T, B, K)
-        bp_cols = np.asarray(bp_cols)
+        bp_rows = np.asarray(bp_rows).astype(np.int64)   # (T, B, K)
+        bp_cols = np.asarray(bp_cols).astype(np.int64)
         p_total = np.asarray(p_total)
         p_lm = np.asarray(p_lm)
 

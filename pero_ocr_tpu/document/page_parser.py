@@ -225,6 +225,10 @@ class LayoutExtractor:
             # device time; requires a checkpoint trained with it).
             stem="s2d" if config.getboolean("FAST_STEM", fallback=False)
             else "conv",
+            # Architecture keys (the reference's TorchScript binaries bake
+            # these in; in-framework-trained checkpoints declare them).
+            base_features=config.getint("BASE_FEATURES", fallback=32),
+            depth=config.getint("DEPTH", fallback=4),
         )
 
     def process_page(self, img, page_layout: PageLayout) -> PageLayout:

@@ -101,6 +101,8 @@ class LayoutEngine:
         smooth_line_predictions: bool = True,
         paragraph_line_threshold: float = 0.3,
         stem: str = "conv",
+        base_features: int = 32,
+        depth: int = 4,
     ):
         self.parsenet = ParseNetWrapper(
             model_path,
@@ -109,6 +111,8 @@ class LayoutEngine:
             max_mp=max_mp,
             detection_threshold=detection_threshold,
             stem=stem,
+            base_features=base_features,
+            depth=depth,
         )
         self.line_end_weight = line_end_weight
         self.vertical_line_connection_range = vertical_line_connection_range

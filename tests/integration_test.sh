@@ -13,6 +13,7 @@
 set -euo pipefail
 
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
+export REPO
 WORK="${1:-$(mktemp -d)}"
 mkdir -p "$WORK"
 cd "$WORK"
@@ -134,8 +135,58 @@ grep -q "summary 0.00 % CER" cer.log || { echo "FAIL: nonzero self-CER"; exit 1;
 echo "== eval CLI OK"
 
 # ----------------------------------------------------------------------
+# 4b. Train a TOY ParseNet on the synthetic stripes so the fast-pipeline
+#     legs detect real lines (random weights detect nothing, which made
+#     the CNN legs vacuous).  ~100 steps of the in-framework trainer on
+#     the exact canvases the crops transport ships.
+# ----------------------------------------------------------------------
+python - <<'EOF'
+import numpy as np, cv2, sys, os
+sys.path.insert(0, os.environ.get("REPO", "."))
+from pero_ocr_tpu.utils.jax_setup import configure
+configure(cpu=True)
+import jax, jax.numpy as jnp
+from pero_ocr_tpu.models.parsenet import ParseNet
+from pero_ocr_tpu.parallel import train as train_lib
+from pero_ocr_tpu.utils.checkpoint import save_variables
+
+DS = 4
+images, targets = [], []
+for p in range(3):
+    img = cv2.imread(f"images/page{p}.jpg", 0)
+    small = cv2.resize(img, (0, 0), fx=1/DS, fy=1/DS,
+                       interpolation=cv2.INTER_AREA)
+    h64 = int(np.ceil(small.shape[0] / 64) * 64)
+    w64 = int(np.ceil(small.shape[1] / 64) * 64)
+    canvas = np.zeros((h64, w64), np.uint8)
+    canvas[:small.shape[0], :small.shape[1]] = small
+    tgt = np.zeros((h64, w64, 5), np.float32)
+    for r in range(4):  # page generator: rows at y=60+70r, ink y-18..y-2
+        y = (60 + 70 * r) // DS
+        x0, x1 = 40 // DS, 540 // DS
+        tgt[y, x0:x1, 2] = 1.0            # baseline
+        tgt[y - 4:y + 1, x0:x1, 0] = 4.0  # asc (map px)
+        tgt[y - 4:y + 1, x0:x1, 1] = 1.0  # desc
+        tgt[y, x0, 3] = 1.0               # endpoints
+        tgt[y, x1 - 1, 3] = 1.0
+    images.append(np.repeat(canvas[:, :, None], 3, 2).astype(np.float32) / 255.0)
+    targets.append(tgt)
+x = jnp.asarray(np.stack(images)); t = jnp.asarray(np.stack(targets))
+model = ParseNet(base_features=4, depth=2)
+opt = train_lib.make_optimizer(3e-3)
+state = train_lib.init_parsenet_train_state(model, opt, jax.random.PRNGKey(0))
+step = jax.jit(train_lib.make_parsenet_train_step(model, opt))
+loss = None
+for i in range(150):
+    state, loss = step(state, x, t)
+print(f"toy ParseNet trained: loss={float(loss):.4f}")
+assert float(loss) < 0.1, "toy ParseNet failed to converge"
+save_variables(state.params, "parsenet.ckpt")
+EOF
+
+# ----------------------------------------------------------------------
 # 5. Fast pipeline (--fast-pipeline: device-resident batched path with
-#    CNN layout + CTC OCR; XML out only)
+#    CNN layout + CTC OCR)
 # ----------------------------------------------------------------------
 cat > fast.ini <<'EOF'
 [PAGE_PARSER]
@@ -145,6 +196,9 @@ RUN_OCR = yes
 
 [LAYOUT_PARSER_1]
 METHOD = LAYOUT_CNN
+MODEL_PATH = parsenet.ckpt
+BASE_FEATURES = 4
+DEPTH = 2
 DOWNSAMPLE = 4
 DETECTION_THRESHOLD = 0.2
 MAX_MEGAPIXELS = 5
@@ -166,7 +220,11 @@ import lxml.etree as ET
 for p in range(3):
     tree = ET.parse(f"out_fast_xml/page{p}.xml")
     assert tree.findall(".//{*}TextRegion"), f"page{p}: no regions"
-print("== fast-pipeline XML OK")
+    # The trained toy ParseNet must actually DETECT the synthetic
+    # stripes (4 rows per page); without this the fast legs are vacuous.
+    lines = tree.findall(".//{*}TextLine")
+    assert len(lines) >= 2, f"page{p}: only {len(lines)} lines detected"
+print("== fast-pipeline XML OK (lines detected)")
 EOF
 
 # ----------------------------------------------------------------------
@@ -203,6 +261,7 @@ for p in range(3):
     if n_text:
         assert alto.findall(".//{*}String"), f"page{p}: no ALTO Strings"
 crops = os.listdir("out_fast_lines")
+assert crops, "no fast-path line crops written"
 print(f"== fast-pipeline ALTO+logits+crops OK ({len(crops)} crops)")
 EOF
 

@@ -94,6 +94,32 @@ class TestVisualOnlyParity:
             assert p == pytest.approx(brute[transcript], rel=1e-3), transcript
 
 
+class TestTransportDtype:
+    def test_f16_transport_matches_f32(self):
+        """transport_dtype=float16 halves the upload bytes (the decode
+        is link-bound on stored-logits jobs); the maths stay f32, so
+        best hypotheses and scores must match within f16 input
+        precision."""
+        rng = np.random.default_rng(5)
+        logits = lp(rng, 14, len(LETTERS))
+        batch = np.stack([logits, lp(rng, 14, len(LETTERS))])
+
+        full = TPUBeamSearchDecoder(LETTERS, k=4, max_len=16)
+        half = TPUBeamSearchDecoder(
+            LETTERS, k=4, max_len=16, transport_dtype=np.float16
+        )
+        bags_full = full.decode_batch(batch)
+        bags_half = half.decode_batch(batch)
+        for bf, bh in zip(bags_full, bags_half):
+            assert bf.best_hyp() == bh.best_hyp()
+            sf = {h.transcript: h.vis_sc for h in bf}
+            for h in bh:
+                if h.transcript in sf:
+                    assert h.vis_sc == pytest.approx(
+                        sf[h.transcript], abs=5e-2
+                    )
+
+
 class TestBigCharsetParity:
     def test_wide_vocab_matches_host(self):
         """Wide charsets (>= 64 symbols) stress the decoder's single
