@@ -290,6 +290,72 @@ void warp_affine_lines_u8(const uint8_t* gray, int32_t h, int32_t w,
     }
 }
 
+// ---------------------------------------------------------------------
+// Batched separator-map penalties for paragraph clustering (the
+// per-pair python loop was the clustering's hot path at ~0.1-0.2ms per
+// query).  Query q samples line q_line[q]'s polyline (points sorted by
+// x, already map-scale), shifted by q_shift[q], over integer columns
+// [round(q_x1), round(q_x2)) clipped to the polyline span and the map,
+// sums a 3-row band of sep_map around round(interp(y)), and divides by
+// (q_x2 - q_x1).  Columns outside the span contribute nothing; empty
+// sample sets yield 1.0 — exactly the python get_penalty semantics
+// (pero_ocr_tpu/layout_engines/cnn_engine.py get_penalty).
+// ---------------------------------------------------------------------
+void separator_penalties_f32(
+    const double* bx, const double* by, const int32_t* offs,
+    const int32_t* q_line, const double* q_shift,
+    const double* q_x1, const double* q_x2, int32_t n_q,
+    const float* sep_map, int32_t h, int32_t w, double* out) {
+    for (int32_t q = 0; q < n_q; ++q) {
+        const int32_t lo = offs[q_line[q]];
+        const int32_t hi = offs[q_line[q] + 1];
+        const int32_t npts = hi - lo;
+        const double* px = bx + lo;
+        const double* py = by + lo;
+        const double shift = q_shift[q];
+        const int64_t x1 = (int64_t)std::llround(q_x1[q]);
+        const int64_t x2 = (int64_t)std::llround(q_x2[q]);
+        const double denom = std::max(q_x2[q] - q_x1[q], 1e-6);
+        if (x2 <= x1 || npts < 1 || px[npts - 1] <= px[0]) {
+            out[q] = 1.0;
+            continue;
+        }
+        int64_t xa = std::max(
+            x1, (int64_t)std::ceil(std::max(px[0], 0.0)));
+        int64_t xb = std::min(
+            {x2 - 1, (int64_t)std::floor(px[npts - 1]), (int64_t)w - 1});
+        if (xa > xb) {
+            out[q] = 1.0;
+            continue;
+        }
+        double total = 0.0;
+        int32_t seg = 0;
+        bool any = false;
+        for (int64_t x = xa; x <= xb; ++x) {
+            const double xf = (double)x;
+            double y;
+            if (xf <= px[0]) {
+                y = py[0];
+            } else if (xf >= px[npts - 1]) {
+                y = py[npts - 1];
+            } else {
+                while (seg + 2 < npts && px[seg + 1] < xf) ++seg;
+                const double dx = px[seg + 1] - px[seg];
+                const double t_ = dx > 0 ? (xf - px[seg]) / dx : 0.0;
+                y = py[seg] + t_ * (py[seg + 1] - py[seg]);
+            }
+            const int64_t yc = (int64_t)std::llround(y + shift);
+            for (int64_t dy = -1; dy <= 1; ++dy) {
+                const int64_t yy =
+                    std::min((int64_t)h - 1, std::max((int64_t)0, yc + dy));
+                total += sep_map[yy * w + x];
+            }
+            any = true;
+        }
+        out[q] = any ? total / denom : 1.0;
+    }
+}
+
 int32_t viterbi_ctc_f32(const float* neg_logprobs_states, int32_t t,
                         int32_t s, const uint8_t* skip_ok,
                         int32_t* path_out) {

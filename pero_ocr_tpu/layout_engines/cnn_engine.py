@@ -307,6 +307,63 @@ class LayoutEngine:
             p2 = self.get_penalty(b2 / ds, -h2[0] / ds, x_1 / ds, x_2 / ds, sep_map)
         return abs(max(p1, p2))
 
+    def _pair_penalties_batch(self, b_list, h_list, pairs, sep_map, ds):
+        """All close pairs' separator penalties in ONE native call
+        (native/perotpu.cpp separator_penalties_f32) — the per-pair
+        python loop was the clustering's hot path on the 1-core host.
+        Returns (P,) penalties, or None when the library is missing
+        (caller falls back to the python loop)."""
+        from pero_ocr_tpu.utils import native as native_lib
+
+        lib = native_lib.get_library()
+        if lib is None or not hasattr(lib, "separator_penalties_f32"):
+            return None
+        blines = [np.asarray(b, float) for b in b_list]
+        bxs, bys, offs = [], [], [0]
+        for b in blines:
+            order = np.argsort(b[:, 0])
+            bxs.append(b[order, 0] / ds)
+            bys.append(b[order, 1] / ds)
+            offs.append(offs[-1] + len(b))
+        x_min = np.array([b[:, 0].min() for b in blines])
+        x_max = np.array([b[:, 0].max() for b in blines])
+        y_avg = np.array([b[:, 1].mean() for b in blines])
+
+        penalties = np.ones(len(pairs))
+        q_line, q_shift, q_x12 = [], [], []
+        q_pair = []
+        for p_idx, (i, j) in enumerate(pairs):
+            x_overlap = max(
+                0.0, min(x_max[i], x_max[j]) - max(x_min[i], x_min[j])
+            )
+            if x_overlap <= 5:
+                continue
+            x_1 = int(max(x_min[i], x_min[j]))
+            x_2 = int(min(x_max[i], x_max[j]))
+            h1, h2 = h_list[i], h_list[j]
+            if y_avg[i] > y_avg[j]:
+                shifts = (-h1[0] / ds, h2[1] / ds)
+            else:
+                shifts = (h1[1] / ds, -h2[0] / ds)
+            q_line += [i, j]
+            q_shift += list(shifts)
+            q_x12.append((x_1 / ds, x_2 / ds))
+            q_pair.append(p_idx)
+        if q_pair:
+            x12 = np.repeat(np.asarray(q_x12, float), 2, axis=0)
+            out = native_lib.native_separator_penalties(
+                np.concatenate(bxs), np.concatenate(bys),
+                np.asarray(offs, np.int32),
+                np.asarray(q_line, np.int32),
+                np.asarray(q_shift, float),
+                x12[:, 0], x12[:, 1], sep_map,
+            )
+            if out is None:
+                return None
+            for k, p_idx in enumerate(q_pair):
+                penalties[p_idx] = abs(max(out[2 * k], out[2 * k + 1]))
+        return penalties
+
     def make_clusters(self, b_list, h_list, t_list, separator_map, ds):
         """Cluster lines into paragraphs: candidate pairs by dilated-outline
         overlap, edges where separator penalty is low, connected components
@@ -347,13 +404,21 @@ class LayoutEngine:
             dists = geometry.polygon_min_distance_batch(polys, pairs)
             # <= : shapely's buffer().intersects() counts touching.
             close = dists <= dilate_d[pairs[:, 0]] + dilate_d[pairs[:, 1]]
-            for i, j in pairs[close]:
-                penalty = self.get_pair_penalty(
-                    b_list[i], b_list[j], h_list[i], h_list[j],
-                    separator_map, ds,
-                )
-                distances[i, j] = penalty
-                distances[j, i] = penalty
+            close_pairs = pairs[close]
+            pen = self._pair_penalties_batch(
+                b_list, h_list, close_pairs, separator_map, ds
+            )
+            if pen is not None:
+                distances[close_pairs[:, 0], close_pairs[:, 1]] = pen
+                distances[close_pairs[:, 1], close_pairs[:, 0]] = pen
+            else:
+                for i, j in close_pairs:
+                    penalty = self.get_pair_penalty(
+                        b_list[i], b_list[j], h_list[i], h_list[j],
+                        separator_map, ds,
+                    )
+                    distances[i, j] = penalty
+                    distances[j, i] = penalty
 
         adjacency = (distances < self.paragraph_line_threshold).astype(int)
         np.fill_diagonal(adjacency, 0)

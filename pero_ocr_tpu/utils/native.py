@@ -84,6 +84,21 @@ def get_library() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
         ]
         try:
+            lib.separator_penalties_f32.restype = None
+            lib.separator_penalties_f32.argtypes = [
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_double), ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int32,
+                ctypes.c_int32, ctypes.POINTER(ctypes.c_double),
+            ]
+        except AttributeError:
+            pass
+        try:
             lib.warp_affine_lines_u8.restype = None
             lib.warp_affine_lines_u8.argtypes = [
                 ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32,
@@ -185,6 +200,38 @@ def native_warp_affine_lines(
         _ptr(offsets, ctypes.c_int64), stride_col, stride_row,
     )
     return True
+
+
+def native_separator_penalties(
+    bx: np.ndarray, by: np.ndarray, offs: np.ndarray,
+    q_line: np.ndarray, q_shift: np.ndarray,
+    q_x1: np.ndarray, q_x2: np.ndarray, sep_map: np.ndarray,
+):
+    """Batched separator-map penalties (paragraph clustering hot path;
+    see native/perotpu.cpp separator_penalties_f32).  Returns the (Q,)
+    penalties or None when the library/symbol is unavailable."""
+    lib = get_library()
+    if lib is None or not hasattr(lib, "separator_penalties_f32"):
+        return None
+    bx = np.ascontiguousarray(bx, np.float64)
+    by = np.ascontiguousarray(by, np.float64)
+    offs = np.ascontiguousarray(offs, np.int32)
+    q_line = np.ascontiguousarray(q_line, np.int32)
+    q_shift = np.ascontiguousarray(q_shift, np.float64)
+    q_x1 = np.ascontiguousarray(q_x1, np.float64)
+    q_x2 = np.ascontiguousarray(q_x2, np.float64)
+    sep_map = np.ascontiguousarray(sep_map, np.float32)
+    out = np.empty(len(q_line), np.float64)
+    h, w = sep_map.shape
+    lib.separator_penalties_f32(
+        _ptr(bx, ctypes.c_double), _ptr(by, ctypes.c_double),
+        _ptr(offs, ctypes.c_int32), _ptr(q_line, ctypes.c_int32),
+        _ptr(q_shift, ctypes.c_double), _ptr(q_x1, ctypes.c_double),
+        _ptr(q_x2, ctypes.c_double), len(q_line),
+        _ptr(sep_map, ctypes.c_float), h, w,
+        _ptr(out, ctypes.c_double),
+    )
+    return out
 
 
 def native_viterbi_ctc(

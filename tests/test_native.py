@@ -174,3 +174,55 @@ class TestWarpAffineLines:
             np.zeros(1, np.int64), stride_col=1, stride_row=w,
         )
         assert (out == 0).all()
+
+
+class TestSeparatorPenalties:
+    """The batched native clustering penalties must match the python
+    get_penalty/get_pair_penalty pair exactly (same rounding, span
+    clipping, and denominator)."""
+
+    def _setup(self):
+        from pero_ocr_tpu.layout_engines.cnn_engine import ParagraphClusterer
+
+        rng = np.random.default_rng(3)
+        sep = rng.random((80, 120)).astype(np.float32)
+        b_list, h_list = [], []
+        for i in range(8):
+            xs = np.sort(rng.uniform(0, 460, 6))
+            ys = 30 + 40 * i + rng.normal(0, 3, 6)
+            b_list.append(np.stack([xs, ys], 1))
+            h_list.append([12.0 + rng.uniform(0, 4), 4.0])
+        return ParagraphClusterer(), b_list, h_list, sep
+
+    def test_matches_python_pairs(self):
+        eng, b_list, h_list, sep = self._setup()
+        pairs = np.array(
+            [(i, j) for i in range(8) for j in range(i + 1, 8)]
+        )
+        pen = eng._pair_penalties_batch(b_list, h_list, pairs, sep, 4.0)
+        assert pen is not None
+        for (i, j), p in zip(pairs, pen):
+            ref = eng.get_pair_penalty(
+                b_list[i], b_list[j], h_list[i], h_list[j], sep, 4.0
+            )
+            # f32 map mass accumulates in a different order (double
+            # accumulator vs numpy's pairwise f32) — bit differences
+            # stay ~1e-9; anything near the 0.3 clustering threshold is
+            # unaffected.
+            assert p == pytest.approx(ref, abs=1e-6), (i, j)
+
+    def test_clusters_unchanged(self):
+        """make_clusters with and without the native path must agree."""
+        from pero_ocr_tpu.layout_engines import helpers
+
+        eng, b_list, h_list, sep = self._setup()
+        t_list = [
+            helpers.baseline_to_textline(b, h)
+            for b, h in zip(b_list, h_list)
+        ]
+        native_clusters = eng.make_clusters(b_list, h_list, t_list, sep, 4.0)
+        orig = eng._pair_penalties_batch
+        eng._pair_penalties_batch = lambda *a, **k: None
+        python_clusters = eng.make_clusters(b_list, h_list, t_list, sep, 4.0)
+        eng._pair_penalties_batch = orig
+        np.testing.assert_array_equal(native_clusters, python_clusters)
