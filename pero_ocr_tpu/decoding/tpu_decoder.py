@@ -484,20 +484,29 @@ class TPUBeamSearchDecoder:
         p_total = np.asarray(p_total)
         p_lm = np.asarray(p_lm)
 
-        # Vectorized host backtrack: walk the (row, col) backpointers from
-        # the final beam entries; cols < V emit a character.
+        # Vectorized host backtrack: walk the (row, col) backpointers
+        # from the final beam entries, RECORDING the emitted char id per
+        # (t, beam) in one (T, B, K) array; strings materialize once per
+        # beam afterwards (appending to strings per emit was O(len^2)
+        # and dominated large-batch decode post-processing).
         t_total = bp_rows.shape[0]
         cursor = np.tile(np.arange(self.k)[None, :], (b, 1))  # (B, K)
-        texts = [["" for _ in range(self.k)] for _ in range(b)]
         batch_idx = np.arange(b)[:, None]
+        emitted = np.empty((t_total, b, self.k), np.int64)
         for t in range(t_total - 1, -1, -1):
-            cols_t = bp_cols[t][batch_idx, cursor]   # (B, K)
-            rows_t = bp_rows[t][batch_idx, cursor]
-            emit = cols_t < self.vocab
-            if emit.any():
-                for i, j in zip(*np.nonzero(emit)):
-                    texts[i][j] = self.letters[cols_t[i, j]] + texts[i][j]
-            cursor = rows_t
+            emitted[t] = bp_cols[t][batch_idx, cursor]
+            cursor = bp_rows[t][batch_idx, cursor]
+        texts = [
+            [
+                "".join(
+                    self.letters[c]
+                    for c in emitted[:, i, j]
+                    if c < self.vocab
+                )
+                for j in range(self.k)
+            ]
+            for i in range(b)
+        ]
 
         bags = []
         for i in range(b):
