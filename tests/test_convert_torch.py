@@ -374,3 +374,82 @@ class TestTransformerConversion:
         for t, lg in zip(texts, logits):
             assert all(ch in "abcdefg" for ch in t)
             assert lg.shape[0] == len(t) or lg.shape[0] >= len(t)
+
+    def test_fast_pipeline_matches_engine_transcriptions(
+        self, pair, tmp_path
+    ):
+        """VERDICT r2 #4 acceptance: a CONVERTED reference transformer
+        checkpoint must transcribe identically through the fast
+        pipeline's stage-B AR scan and through the stage-by-stage
+        engine on the same crops (reference engine semantics:
+        pero_ocr/ocr_engine/transformer_ocr_engine.py:49-89)."""
+        import json
+
+        from pero_ocr_tpu.models.parsenet import ParseNet
+        from pero_ocr_tpu.ocr.transformer_engine import (
+            TransformerEngineLineOCR,
+        )
+        from pero_ocr_tpu.parallel.pipeline import TPUPagePipeline
+
+        tm, fm, variables, spec = pair
+        torch.save(tm.state_dict(), tmp_path / "ref.pt")
+        ocr_json = {
+            "characters": list("abcdefg"),
+            "line_px_height": 8,
+            "checkpoint": "ref.pt",
+            "net_name": json.dumps({
+                "dim_model": spec.dim_model, "dim_ff": spec.dim_ff,
+                "heads": spec.heads, "encoder_layers": 2,
+                "decoder_layers": 2, "conv_subsampling": [8, 4],
+                "max_seq_len": 32,
+            }),
+        }
+        path = tmp_path / "ocr.json"
+        path.write_text(json.dumps(ocr_json), encoding="utf8")
+        engine = TransformerEngineLineOCR(str(path), batch_size=4)
+
+        parsenet = ParseNet(base_features=4, depth=2)
+        pn_params = parsenet.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
+        )
+        p = TPUPagePipeline(
+            parsenet, pn_params, engine.model, engine.variables,
+            downsample=4, crop_height=8, crop_bucket=64, line_slot=4,
+            transport="crops", transport_bits=8,
+        )
+
+        rng = np.random.default_rng(4)
+        page = np.full((64, 128, 3), 240, np.uint8)
+        page[18:26] = rng.integers(0, 255, (8, 128, 3), np.uint8)
+        page[38:46] = rng.integers(0, 255, (8, 128, 3), np.uint8)
+
+        def two_lines(_page):
+            return (
+                [np.array([[4.0, 25.0], [124.0, 25.0]]),
+                 np.array([[4.0, 45.0], [124.0, 45.0]])],
+                [[7.0, 1.0], [7.0, 1.0]],
+            )
+
+        results = list(p.run([page], lines_override=two_lines, page_batch=1))
+        assert results[0].labels is not None
+        n_emit = len(engine.characters) - 2
+        fast_texts = []
+        for i in range(2):
+            n = int(results[0].label_lengths[i])
+            fast_texts.append("".join(
+                engine.characters[c]
+                for c in results[0].labels[i, :n] if c < n_emit
+            ))
+
+        # Stage-by-stage: the engine decodes the SAME crops the
+        # pipeline shipped (host warp, zero-padded to the bucket).
+        gray = p._gray(page)
+        bl, hh = two_lines(page)
+        crops = np.zeros((2, 8, 64, 3), np.uint8)
+        for i in range(2):
+            c = p._host_crop_line(gray, bl[i], hh[i])
+            crops[i, :, : c.shape[1]] = np.repeat(c[:, :, None], 3, 2)
+        engine_texts, _ = engine.run_ocr(crops, np.array([64, 64]))
+
+        assert fast_texts == engine_texts
+        assert any(fast_texts), "degenerate: both decodes empty"
