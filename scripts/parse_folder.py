@@ -83,6 +83,12 @@ def parse_arguments():
                              "pages and warps crops on device; 'crops' "
                              "ships 1/4-res pages + host-warped crops "
                              "(~3x fewer link bytes for slow host links).")
+    parser.add_argument("--dp", type=int, default=0, metavar="N",
+                        help="Fast-pipeline data parallelism: shard page "
+                             "batches over an N-chip (dp,) mesh (ICI "
+                             "collective-free — pages are independent; "
+                             "page batch becomes a multiple of N). 0 = "
+                             "single device.")
     parser.add_argument("--process-count", type=int, default=1,
                         help="Parallel page processes (line-cropping-only "
                              "configs; neural stages run in-process).")
@@ -471,9 +477,28 @@ def main():
             sys.exit(2)
         from pero_ocr_tpu.document.fast_pipeline import FastPagePipeline
 
+        mesh = None
+        page_batch = 4
+        if args.dp > 1:
+            import jax
+            from jax.sharding import Mesh
+
+            devices = jax.devices()
+            if len(devices) < args.dp:
+                logging.error(
+                    "--dp %d requested but only %d device(s) visible",
+                    args.dp, len(devices),
+                )
+                sys.exit(2)
+            mesh = Mesh(
+                np.asarray(devices[: args.dp]).reshape(args.dp, 1),
+                ("dp", "tp"),
+            )
+            # Page batches shard over dp (a multiple of dp, at least 4).
+            page_batch = args.dp * max(1, 4 // args.dp)
         fast = FastPagePipeline(
             page_parser, transport_bits=args.transport_bits,
-            transport=args.transport,
+            transport=args.transport, mesh=mesh, page_batch=page_batch,
             want_logits=bool(output_logit_path or output_alto_path),
             want_crops=bool(output_line_path),
         )

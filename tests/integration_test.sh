@@ -269,6 +269,15 @@ print(f"== fast-pipeline ALTO+logits+crops OK ({len(crops)} crops)")
 EOF
 
 # ----------------------------------------------------------------------
+# 5b2. Fast pipeline sharded over a 2-virtual-device (dp,) mesh
+# ----------------------------------------------------------------------
+XLA_FLAGS="--xla_force_host_platform_device_count=2" \
+python "$REPO/scripts/parse_folder.py" -c fast.ini -i images --device cpu \
+    --fast-pipeline --dp 2 --output-xml-path out_fast_dp_xml
+[ "$(ls out_fast_dp_xml | wc -l)" -eq 3 ] || { echo "FAIL: dp XML missing"; exit 1; }
+echo "== fast-pipeline dp=2 mesh OK"
+
+# ----------------------------------------------------------------------
 # 5c. 2-bit print-mode crop transport (plain rounding; crops only)
 # ----------------------------------------------------------------------
 python "$REPO/scripts/parse_folder.py" -c fast.ini -i images --device cpu \
