@@ -107,7 +107,7 @@ def trained_parsenet_variables(parsenet, pages):
     from pero_ocr_tpu.utils.checkpoint import load_variables, save_variables
 
     key = hashlib.sha1(
-        f"bench-parsenet-v1-{PAGE_H}x{PAGE_W}-{N_TEXT_ROWS}-s2d".encode()
+        f"bench-parsenet-v2-{PAGE_H}x{PAGE_W}-{N_TEXT_ROWS}-s2d".encode()
     ).hexdigest()[:16]
     cache_dir = os.path.expanduser("~/.cache/pero_test_ckpt")
     cache_path = os.path.join(cache_dir, f"bench_pn_{key}.ckpt")
@@ -148,7 +148,13 @@ def trained_parsenet_variables(parsenet, pages):
     state = train_lib.TrainState(
         template, optimizer.init(template), jnp.zeros((), jnp.int32)
     )
-    step = jax.jit(train_lib.make_parsenet_train_step(parsenet, optimizer))
+    # Strong height supervision incl. off-mask (the postproc dilates +
+    # max-pools the height maps; unconstrained off-mask predictions
+    # leak into measured line heights on a lightly trained net).
+    step = jax.jit(train_lib.make_parsenet_train_step(
+        parsenet, optimizer, height_weight=0.3,
+        off_mask_height_weight=0.05,
+    ))
     for _ in range(800):
         state, loss = step(state, x, t)
     loss = float(loss)

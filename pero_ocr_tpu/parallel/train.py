@@ -126,10 +126,18 @@ def parsenet_loss_fn(
     images: jnp.ndarray,
     target_maps: jnp.ndarray,
     height_weight: float = 0.01,
+    off_mask_height_weight: float = 0.0,
 ) -> jnp.ndarray:
     """images (B, H, W, 3); target_maps (B, H, W, 5) with channels
     [asc_height, desc_height, baseline, endpoint, separator]; heights
-    are supervised only where the baseline mask is on."""
+    are supervised only where the baseline mask is on.
+
+    ``off_mask_height_weight`` > 0 additionally pulls OFF-mask height
+    predictions toward the target (usually 0 there) — the inference
+    postprocess grey-DILATES the height maps and max-pools them to
+    quarter resolution before sampling at baseline pixels
+    (cnn_engine._postprocess_maps), so unconstrained off-mask garbage
+    from a lightly trained net leaks into the measured line heights."""
     pred = model.apply(params, images)
     # The model emits post-sigmoid probabilities for the mask channels
     # (models/parsenet.py:92), so BCE operates in probability space.
@@ -142,13 +150,26 @@ def parsenet_loss_fn(
     on = target_maps[..., 2:3]
     h_err = jnp.abs(pred[..., 0:2] - target_maps[..., 0:2]) * on
     h_l1 = h_err.sum() / jnp.maximum(on.sum() * 2.0, 1.0)
-    return bce + height_weight * h_l1
+    loss = bce + height_weight * h_l1
+    if off_mask_height_weight:
+        h_off = (
+            jnp.abs(pred[..., 0:2] - target_maps[..., 0:2]) * (1.0 - on)
+        ).mean()
+        loss = loss + off_mask_height_weight * h_off
+    return loss
 
 
-def make_parsenet_train_step(model, optimizer: optax.GradientTransformation):
+def make_parsenet_train_step(
+    model, optimizer: optax.GradientTransformation,
+    height_weight: float = 0.01, off_mask_height_weight: float = 0.0,
+):
     def train_step(state: TrainState, images, target_maps):
         loss, grads = jax.value_and_grad(
-            lambda p: parsenet_loss_fn(model, p, images, target_maps)
+            lambda p: parsenet_loss_fn(
+                model, p, images, target_maps,
+                height_weight=height_weight,
+                off_mask_height_weight=off_mask_height_weight,
+            )
         )(state.params)
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)

@@ -175,7 +175,8 @@ x = jnp.asarray(np.stack(images)); t = jnp.asarray(np.stack(targets))
 model = ParseNet(base_features=4, depth=2)
 opt = train_lib.make_optimizer(5e-3)
 state = train_lib.init_parsenet_train_state(model, opt, jax.random.PRNGKey(0))
-step = jax.jit(train_lib.make_parsenet_train_step(model, opt))
+step = jax.jit(train_lib.make_parsenet_train_step(
+    model, opt, height_weight=0.3, off_mask_height_weight=0.05))
 loss = None
 # ~800 steps: the baseline channel must clear the 0.2 detection
 # threshold CONFIDENTLY (sweep: mask pixels appear ~step 500 at this
@@ -183,7 +184,7 @@ loss = None
 for i in range(800):
     state, loss = step(state, x, t)
 print(f"toy ParseNet trained: loss={float(loss):.4f}")
-assert float(loss) < 0.01, "toy ParseNet failed to converge"
+assert float(loss) < 0.05, "toy ParseNet failed to converge"
 save_variables(state.params, "parsenet.ckpt")
 EOF
 
