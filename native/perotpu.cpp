@@ -291,6 +291,101 @@ void warp_affine_lines_u8(const uint8_t* gray, int32_t h, int32_t w,
 }
 
 // ---------------------------------------------------------------------
+// Per-component baseline extraction (the CC-parse hot loop of the
+// device pipeline's host geometry; semantics identical to
+// pero_ocr_tpu/parallel/pipeline.py _lines_from_masks):
+//   for each label c in [1, num]: collect its pixels in row-major
+//   order; components with <= 5 px are invalid; baseline point per
+//   unique x = FIRST-seen y (row-major => min y), xs ascending;
+//   decimate to target = clamp(n_unique/10, 2, 10) points via
+//   numpy-linspace index truncation; pos[0].x -= 2, pos[-1].x += 2;
+//   heights = per-channel MEDIAN (numpy percentile-50 interpolation)
+//   of max(heights_map, 0) over ALL component pixels.
+// ---------------------------------------------------------------------
+static double median_of(std::vector<float>& v) {
+    const size_t n = v.size();
+    if (n == 0) return 0.0;
+    const size_t mid = n / 2;
+    std::nth_element(v.begin(), v.begin() + mid, v.end());
+    const double hi = v[mid];
+    if (n % 2 == 1) return hi;
+    const double lo =
+        *std::max_element(v.begin(), v.begin() + mid);
+    return 0.5 * (lo + hi);
+}
+
+void cc_baselines_f32(const int32_t* labels, int32_t h, int32_t w,
+                      int32_t num, const float* heights,
+                      int32_t max_pts, double* out_pts,
+                      int32_t* out_npts, double* out_heights,
+                      uint8_t* out_valid) {
+    std::vector<std::vector<std::pair<int32_t, int32_t>>> px(num + 1);
+    std::vector<std::vector<float>> h0(num + 1), h1(num + 1);
+    for (int32_t y = 0; y < h; ++y) {
+        const int32_t* row = labels + (size_t)y * w;
+        const float* hrow = heights + (size_t)y * w * 2;
+        for (int32_t x = 0; x < w; ++x) {
+            const int32_t c = row[x];
+            if (c <= 0 || c > num) continue;
+            px[c].push_back({x, y});
+            h0[c].push_back(std::max(hrow[2 * x], 0.f));
+            h1[c].push_back(std::max(hrow[2 * x + 1], 0.f));
+        }
+    }
+    std::vector<std::pair<int32_t, int32_t>> uniq;
+    for (int32_t c = 1; c <= num; ++c) {
+        const int32_t o = c - 1;
+        out_npts[o] = 0;
+        out_valid[o] = 0;
+        if ((int64_t)px[c].size() <= 5) continue;
+        // First-seen y per x (pixels are row-major, so first = min y),
+        // then ascending x: stable sort by x keeps encounter order.
+        uniq.clear();
+        {
+            // px[c] is row-major; collect first occurrence per x.
+            // xs are bounded by w: use a visit stamp array lazily.
+            static thread_local std::vector<int32_t> first_y;
+            if ((int32_t)first_y.size() < w) first_y.assign(w, -1);
+            std::vector<int32_t> touched;
+            for (const auto& p : px[c]) {
+                if (first_y[p.first] < 0) {
+                    first_y[p.first] = p.second;
+                    touched.push_back(p.first);
+                }
+            }
+            std::sort(touched.begin(), touched.end());
+            for (int32_t x : touched) {
+                uniq.push_back({x, first_y[x]});
+                first_y[x] = -1;  // reset for the next component
+            }
+        }
+        const int64_t n_unique = (int64_t)uniq.size();
+        int32_t target = (int32_t)std::min<int64_t>(10, n_unique / 10);
+        target = std::max(target, 2);
+        target = std::min<int32_t>(target, max_pts);
+        // numpy linspace(0, n-1, target).astype(int): delta * k,
+        // truncated toward zero.
+        const double delta =
+            (double)(n_unique - 1) / (double)(target - 1);
+        double* pts = out_pts + (size_t)o * max_pts * 2;
+        for (int32_t k = 0; k < target; ++k) {
+            // numpy pins the linspace endpoint exactly.
+            int64_t idx =
+                (k == target - 1) ? n_unique - 1 : (int64_t)(delta * k);
+            if (idx > n_unique - 1) idx = n_unique - 1;
+            pts[2 * k] = (double)uniq[idx].first;
+            pts[2 * k + 1] = (double)uniq[idx].second;
+        }
+        pts[0] -= 2.0;
+        pts[2 * (target - 1)] += 2.0;
+        out_npts[o] = target;
+        out_heights[2 * o] = median_of(h0[c]);
+        out_heights[2 * o + 1] = median_of(h1[c]);
+        out_valid[o] = 1;
+    }
+}
+
+// ---------------------------------------------------------------------
 // Batched separator-map penalties for paragraph clustering (the
 // per-pair python loop was the clustering's hot path at ~0.1-0.2ms per
 // query).  Query q samples line q_line[q]'s polyline (points sorted by

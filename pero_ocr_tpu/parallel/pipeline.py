@@ -953,6 +953,25 @@ class TPUPagePipeline:
         labels_img = labels_img * baselines_mask
 
         b_list, h_list = [], []
+        if num > 0:
+            # One C++ pass over the label image replaces the
+            # per-component python loop (unique-x/linspace/percentile —
+            # ~10ms per 4-page batch of the single host core).
+            from pero_ocr_tpu.utils import native as native_lib
+
+            out = native_lib.native_cc_baselines(
+                labels_img, heights_map, num
+            )
+            if out is not None:
+                pts, npts, hts, valid = out
+                for c in range(num):
+                    if not valid[c]:
+                        continue
+                    b_list.append(ds * pts[c, : npts[c]].copy())
+                    h_list.append(
+                        [ds * float(hts[c, 0]), ds * float(hts[c, 1])]
+                    )
+                return b_list, h_list
         ys, xs = np.nonzero(labels_img > 0)
         comp = labels_img[ys, xs]
         order = np.argsort(comp, kind="stable")

@@ -84,6 +84,19 @@ def get_library() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
         ]
         try:
+            lib.cc_baselines_f32.restype = None
+            lib.cc_baselines_f32.argtypes = [
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_uint8),
+            ]
+        except AttributeError:
+            pass
+        try:
             lib.separator_penalties_f32.restype = None
             lib.separator_penalties_f32.argtypes = [
                 ctypes.POINTER(ctypes.c_double),
@@ -200,6 +213,32 @@ def native_warp_affine_lines(
         _ptr(offsets, ctypes.c_int64), stride_col, stride_row,
     )
     return True
+
+
+def native_cc_baselines(
+    labels: np.ndarray, heights: np.ndarray, num: int, max_pts: int = 10,
+):
+    """Per-component decimated baselines + median heights in one C++
+    pass (see native/perotpu.cpp cc_baselines_f32 for the exact
+    python-equivalent semantics).  Returns (pts, npts, heights, valid)
+    or None when the library/symbol is unavailable."""
+    lib = get_library()
+    if lib is None or not hasattr(lib, "cc_baselines_f32"):
+        return None
+    labels = np.ascontiguousarray(labels, np.int32)
+    heights = np.ascontiguousarray(heights, np.float32)
+    h, w = labels.shape
+    out_pts = np.zeros((num, max_pts, 2), np.float64)
+    out_npts = np.zeros(num, np.int32)
+    out_heights = np.zeros((num, 2), np.float64)
+    out_valid = np.zeros(num, np.uint8)
+    lib.cc_baselines_f32(
+        _ptr(labels, ctypes.c_int32), h, w, num,
+        _ptr(heights, ctypes.c_float), max_pts,
+        _ptr(out_pts, ctypes.c_double), _ptr(out_npts, ctypes.c_int32),
+        _ptr(out_heights, ctypes.c_double), _ptr(out_valid, ctypes.c_uint8),
+    )
+    return out_pts, out_npts, out_heights, out_valid
 
 
 def native_separator_penalties(

@@ -226,3 +226,75 @@ class TestSeparatorPenalties:
         python_clusters = eng.make_clusters(b_list, h_list, t_list, sep, 4.0)
         eng._pair_penalties_batch = orig
         np.testing.assert_array_equal(native_clusters, python_clusters)
+
+
+class TestCCBaselines:
+    """The one-pass C++ component-baseline extraction must match the
+    python loop in _lines_from_masks exactly (unique-x first-y points,
+    linspace decimation incl. endpoint pinning, +-2 x adjustments,
+    percentile-50 heights)."""
+
+    def _pipeline(self):
+        import os
+
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        import jax
+        import jax.numpy as jnp
+
+        from pero_ocr_tpu.models.parsenet import ParseNet
+        from pero_ocr_tpu.models.recognizer import (
+            CTCRecognizer,
+            RecognizerSpec,
+        )
+        from pero_ocr_tpu.parallel.pipeline import TPUPagePipeline
+
+        parsenet = ParseNet(base_features=4, depth=2)
+        pn = parsenet.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
+        )
+        spec = RecognizerSpec(
+            num_classes=8, line_height=16, conv_features=(4, 8),
+            subsampling=2, lstm_layers=1, lstm_features=8,
+        )
+        rec = CTCRecognizer(spec)
+        rp = rec.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 16, 64, 3), jnp.float32)
+        )
+        return TPUPagePipeline(
+            parsenet, pn, rec, rp, downsample=4, crop_height=16,
+            crop_bucket=256, line_slot=8,
+        )
+
+    def test_matches_python_loop(self):
+        import pero_ocr_tpu.utils.native as native_mod
+
+        p = self._pipeline()
+        rng = np.random.default_rng(9)
+        # Random blobby masks: several horizontal runs + noise specks
+        # (specks exercise the <=5 px skip).
+        bmask = np.zeros((96, 160), np.uint8)
+        for r in range(6):
+            y = 8 + 14 * r
+            x0 = int(rng.integers(0, 20))
+            x1 = int(rng.integers(100, 158))
+            bmask[y, x0:x1] = 1
+            bmask[y + 1, x0 + 5 : x1 - 5] = rng.random(x1 - x0 - 10) > 0.5
+        for _ in range(20):
+            bmask[rng.integers(0, 96), rng.integers(0, 160)] = 1
+        connected = bmask.copy()
+        heights = rng.uniform(0, 9, (96, 160, 2)).astype(np.float32) - 1.0
+
+        b_nat, h_nat = p._lines_from_masks(bmask, connected, heights)
+
+        orig = native_mod.native_cc_baselines
+        native_mod.native_cc_baselines = lambda *a, **k: None
+        try:
+            b_py, h_py = p._lines_from_masks(bmask, connected, heights)
+        finally:
+            native_mod.native_cc_baselines = orig
+
+        assert len(b_nat) == len(b_py)
+        for a, b in zip(b_nat, b_py):
+            np.testing.assert_allclose(a, b)
+        for a, b in zip(h_nat, h_py):
+            np.testing.assert_allclose(a, b, rtol=1e-6)
