@@ -135,6 +135,48 @@ grep -q "summary 0.00 % CER" cer.log || { echo "FAIL: nonzero self-CER"; exit 1;
 echo "== eval CLI OK"
 
 # ----------------------------------------------------------------------
+# 4a2. merge_ocr_results: merging an engine's outputs with themselves
+#      must reproduce the transcriptions (per-line mean-confidence
+#      pick over identical candidates).
+# ----------------------------------------------------------------------
+mkdir -p merge_in
+cp out_xml/*.xml merge_in/
+cp out_logits/*.logits merge_in/
+python "$REPO/scripts/merge_ocr_results.py" merge_in merge_in \
+    --output-path out_merged
+python - <<'EOF'
+import sys
+sys.path.insert(0, __import__("os").environ["REPO"])
+from pero_ocr_tpu.core.layout import PageLayout
+
+for p in range(3):
+    a = PageLayout(file=f"merge_in/page{p}.xml")
+    b = PageLayout(file=f"out_merged/page{p}.xml")
+    ta = {l.id: l.transcription for l in a.lines_iterator()}
+    tb = {l.id: l.transcription for l in b.lines_iterator()}
+    assert ta == tb, f"page{p}: merged transcriptions differ"
+print("== merge_ocr_results self-merge OK")
+EOF
+
+# ----------------------------------------------------------------------
+# 4a3. compare_txt: known 10% CER between GT and hypothesis dirs.
+# ----------------------------------------------------------------------
+mkdir -p gt_txt hyp_txt
+printf 'abcdefghij' > gt_txt/d1.txt
+printf 'Xbcdefghij' > hyp_txt/d1.txt
+printf 'abcdefghij' > gt_txt/d2.txt
+printf 'abcdefghij' > hyp_txt/d2.txt
+python "$REPO/scripts/compare_txt.py" --gt gt_txt --hyp hyp_txt \
+    --output cer.csv
+python - <<'EOF'
+rows = [l.strip() for l in open("cer.csv") if l.strip()]
+assert len(rows) >= 2, rows
+text = "\n".join(rows)
+assert "d1" in text and "d2" in text
+print("== compare_txt OK")
+EOF
+
+# ----------------------------------------------------------------------
 # 4b. Train a TOY ParseNet on the synthetic stripes so the fast-pipeline
 #     legs detect real lines (random weights detect nothing, which made
 #     the CNN legs vacuous).  ~100 steps of the in-framework trainer on
