@@ -305,3 +305,117 @@ def greedy_decode(
         jnp.min(jnp.where(emitted, step_lp, 0.0), axis=1)
     ).astype(jnp.float32)
     return tokens, lengths, confidences
+
+
+def beam_decode(
+    model: TransformerOCR,
+    params,
+    images: jnp.ndarray,
+    max_len: int,
+    k: int = 4,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Jit-friendly BEAM-search AR decode — one fixed-length lax.scan
+    with per-step KV-cache reordering (a batch-dim gather plays the
+    role the reference's unused ``cache_index_select`` was written for,
+    reference: pero_ocr/ocr_engine/transformer.py:262-283; its engine
+    only ever decodes greedily).  Goes beyond the reference: the
+    returned sequence maximizes the JOINT log-probability over k beams.
+
+    Same contract as :func:`greedy_decode`: (tokens (N, max_len),
+    lengths (N,), confidences (N,)); confidences are the minimum
+    chosen-token probability along the winning beam.  ``k=1`` is
+    exactly greedy."""
+    sp = model.spec
+    n = images.shape[0]
+    neg = -1e9
+
+    decode_model = TransformerOCR(sp, decode=True)
+    memory = model.apply(params, images, method=TransformerOCR.encode)
+    memory = jnp.repeat(memory, k, axis=0)  # (N*k, W, C)
+
+    _, cache_vars = decode_model.apply(
+        {"params": params["params"]},
+        memory,
+        max_len,
+        method=TransformerOCR.init_cache,
+        mutable=["cache"],
+    )
+
+    def step(carry, pos):
+        token, cache, scores, done = carry
+        logits, new_vars = decode_model.apply(
+            {"params": params["params"], "cache": cache},
+            memory,
+            token,
+            jnp.full((n * k,), pos, jnp.int32),
+            method=TransformerOCR.decode_step,
+            mutable=["cache"],
+        )
+        lp = jax.nn.log_softmax(
+            logits.astype(jnp.float32), axis=-1
+        ).reshape(n, k, -1)
+        v = lp.shape[-1]
+        is_eos = jnp.arange(v) == sp.eos_id
+        # Finished beams continue ONLY through EOS at zero cost (their
+        # score is frozen); alive beams extend by any token.
+        cont = jnp.where(
+            done[:, :, None],
+            jnp.where(is_eos[None, None, :], 0.0, neg),
+            lp,
+        )
+        cand = scores[:, :, None] + cont
+        new_scores, flat_idx = jax.lax.top_k(cand.reshape(n, k * v), k)
+        parent = flat_idx // v                        # (N, K)
+        tok = (flat_idx % v).astype(jnp.int32)
+        # Per-step chosen log-prob of each surviving beam (for the
+        # min-prob confidence measure).
+        delta = new_scores - jnp.take_along_axis(scores, parent, axis=1)
+        rows = (jnp.arange(n)[:, None] * k + parent).reshape(-1)
+        cache = jax.tree_util.tree_map(
+            lambda x: x[rows]
+            if (getattr(x, "ndim", 0) >= 1 and x.shape[0] == n * k)
+            else x,
+            new_vars["cache"],
+        )
+        new_done = (
+            jnp.take_along_axis(done, parent, axis=1)
+            | (tok == sp.eos_id)
+        )
+        return (tok.reshape(-1), cache, new_scores, new_done), (
+            parent, tok, delta
+        )
+
+    init = (
+        jnp.full((n * k,), sp.bos_id, jnp.int32),
+        cache_vars["cache"],
+        jnp.tile(
+            jnp.where(jnp.arange(k) == 0, 0.0, neg)[None, :], (n, 1)
+        ),
+        jnp.zeros((n, k), bool),
+    )
+    (_, _, final_scores, _), (parents, toks, deltas) = jax.lax.scan(
+        step, init, jnp.arange(max_len)
+    )
+
+    # In-graph backtrack of the best-scoring beam: walk the per-step
+    # (parent, token) backpointers from argmax(final_scores).
+    best = jnp.argmax(final_scores, axis=1)  # (N,)
+    line_idx = jnp.arange(n)
+
+    def back(cursor, inputs):
+        parent_t, tok_t, delta_t = inputs
+        token = tok_t[line_idx, cursor]
+        lp_t = delta_t[line_idx, cursor]
+        return parent_t[line_idx, cursor], (token, lp_t)
+
+    _, (rev_tokens, rev_lp) = jax.lax.scan(
+        back, best, (parents[::-1], toks[::-1], deltas[::-1])
+    )
+    tokens = rev_tokens[::-1].T    # (N, max_len)
+    step_lp = rev_lp[::-1].T
+    lengths = jnp.sum(tokens != sp.eos_id, axis=1)
+    emitted = jnp.arange(max_len)[None, :] < lengths[:, None]
+    confidences = jnp.exp(
+        jnp.min(jnp.where(emitted, step_lp, 0.0), axis=1)
+    ).astype(jnp.float32)
+    return tokens, lengths, confidences

@@ -24,6 +24,7 @@ import numpy as np
 from pero_ocr_tpu.models.transformer import (
     TransformerOCR,
     TransformerSpec,
+    beam_decode,
     greedy_decode,
 )
 from pero_ocr_tpu.ocr.line_ocr_engine import BaseEngineLineOCR
@@ -40,8 +41,23 @@ class TransformerEngineLineOCR(BaseEngineLineOCR):
     def __init__(self, json_def: str, device=None, batch_size: int = 16):
         super().__init__(json_def, batch_size=batch_size, model_type="transformer")
 
+        # Optional AR beam search (BEYOND the reference — its engine
+        # only decodes greedily): top-level "beam_size" in the OCR JSON
+        # switches the native model's decode to
+        # models.transformer.beam_decode (joint-logprob maximization
+        # with per-step KV-cache reordering).
+        self.beam_size = int(self.config.get("beam_size", 1))
         self._ref_mode = "net_name" in self.config
         if self._ref_mode:
+            if self.beam_size > 1:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "beam_size > 1 is supported for the native "
+                    "transformer only; converted reference checkpoints "
+                    "decode greedily (like the reference engine)."
+                )
+                self.beam_size = 1
             self._init_ref_model()
         else:
             self.spec = TransformerSpec.from_json_dict(
@@ -120,9 +136,15 @@ class TransformerEngineLineOCR(BaseEngineLineOCR):
         @jax.jit
         def run(batch):
             images = batch.astype(jnp.float32) / 255.0
-            tokens, lengths, _ = greedy_decode(
-                self.model, self.variables, images, max_len
-            )
+            if self.beam_size > 1:
+                tokens, lengths, _ = beam_decode(
+                    self.model, self.variables, images, max_len,
+                    k=self.beam_size,
+                )
+            else:
+                tokens, lengths, _ = greedy_decode(
+                    self.model, self.variables, images, max_len
+                )
             # Per-step logits for confidence: re-run teacher-forced with the
             # decoded tokens (one pass, fully batched).
             sp = self.spec

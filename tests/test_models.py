@@ -237,3 +237,92 @@ class TestCharLM:
         np.testing.assert_allclose(
             np.asarray(sub[0][1][0]), np.asarray(state[0][1][2])
         )
+
+
+class TestBeamDecode:
+    """AR beam search (beyond the reference — its engine only decodes
+    greedily): k=1 must equal greedy exactly, and the k>1 winner's
+    JOINT teacher-forced log-probability must never be worse than the
+    greedy sequence's."""
+
+    def _setup(self):
+        from pero_ocr_tpu.models.transformer import beam_decode
+
+        model = TransformerOCR(TINY_TRANS)
+        rng = jax.random.PRNGKey(3)
+        x = jax.random.uniform(rng, (3, 16, 32, 3))
+        params = model.init(
+            jax.random.PRNGKey(0), x, jnp.zeros((3, 5), jnp.int32)
+        )
+        return beam_decode, model, params, x
+
+    @staticmethod
+    def _seq_logprob(model, params, x, tokens, lengths):
+        sp = TINY_TRANS
+        tokens = np.asarray(tokens)
+        bos_prefixed = np.concatenate(
+            [np.full((tokens.shape[0], 1), sp.bos_id), tokens[:, :-1]],
+            axis=1,
+        )
+        memory = model.apply(params, x, method=TransformerOCR.encode)
+        lp = jax.nn.log_softmax(model.apply(
+            params, memory, jnp.asarray(bos_prefixed),
+            method=TransformerOCR.decode_train,
+        ), axis=-1)
+        lp = np.asarray(lp)
+        out = []
+        for i in range(tokens.shape[0]):
+            # Include the terminating EOS step like the beam's score.
+            n = min(int(lengths[i]) + 1, tokens.shape[1])
+            out.append(
+                sum(lp[i, t, tokens[i, t]] for t in range(n))
+            )
+        return np.asarray(out)
+
+    def test_k1_equals_greedy(self):
+        beam_decode, model, params, x = self._setup()
+        gt, gl, gc = greedy_decode(model, params, x, max_len=6)
+        bt, blens, bc = beam_decode(model, params, x, max_len=6, k=1)
+        np.testing.assert_array_equal(np.asarray(bt), np.asarray(gt))
+        np.testing.assert_array_equal(np.asarray(blens), np.asarray(gl))
+        np.testing.assert_allclose(
+            np.asarray(bc), np.asarray(gc), rtol=1e-5
+        )
+
+    def test_beam_never_worse_than_greedy(self):
+        beam_decode, model, params, x = self._setup()
+        gt, gl, _ = greedy_decode(model, params, x, max_len=6)
+        bt, bl, _ = beam_decode(model, params, x, max_len=6, k=4)
+        g_lp = self._seq_logprob(model, params, x, gt, np.asarray(gl))
+        b_lp = self._seq_logprob(model, params, x, bt, np.asarray(bl))
+        assert np.all(b_lp >= g_lp - 1e-4), (b_lp, g_lp)
+
+    def test_engine_beam_size(self, tmp_path):
+        import json
+
+        from pero_ocr_tpu.ocr.transformer_engine import (
+            TransformerEngineLineOCR,
+        )
+
+        cfg = {
+            "characters": list("abcd"),
+            "line_px_height": 16,
+            "line_vertical_scale": 1,
+            "checkpoint": "none.ckpt",
+            "beam_size": 3,
+            "net_spec": {"conv_features": [4], "subsampling": 2,
+                         "d_model": 8, "num_heads": 2,
+                         "encoder_layers": 1, "decoder_layers": 1,
+                         "mlp_dim": 16, "max_decode_len": 12},
+        }
+        p = tmp_path / "ocr.json"
+        p.write_text(json.dumps(cfg))
+        engine = TransformerEngineLineOCR(str(p), batch_size=2)
+        assert engine.beam_size == 3
+        batch = np.random.default_rng(5).integers(
+            0, 255, (2, 16, 64, 3), np.uint8
+        )
+        texts, logits = engine.run_ocr(batch, np.array([64, 64]))
+        assert len(texts) == 2
+        for t in texts:
+            assert all(ch in "abcd" for ch in t)
