@@ -47,6 +47,13 @@ N_TEXT_ROWS = 40
 LINE_HEIGHT_PX = 40
 WARMUP_PAGES = 8
 BENCH_PAGES = 16
+# Headline (lines-override) page batch: the override loop dispatches one
+# combined program per batch with no lag flushes, so bigger batches
+# amortize the tunnel's fixed per-round cost; 8 beat 4 in the measured
+# A/B (scripts/exp_pb_sweep.py).  The honest-CNN loop keeps 4: its
+# host CC parse + clustering grow per batch on the 1-core host.
+PAGE_BATCH = 8
+HONEST_PAGE_BATCH = 4
 
 
 def make_page(rng, height=PAGE_H, width=PAGE_W):
@@ -198,21 +205,22 @@ def build_pipeline(cls, transport_bits=4, pn_variables=None):
     )
 
 
-def timed_run(pages, pipeline, lines_override):
+def timed_run(pages, pipeline, lines_override, page_batch=PAGE_BATCH):
     """One timed pass over BENCH_PAGES pages; returns elapsed seconds."""
     page_list = [pages[i % len(pages)] for i in range(BENCH_PAGES)]
     t0 = time.perf_counter()
     for result in pipeline.run(
-        page_list, lines_override=lines_override, page_batch=4
+        page_list, lines_override=lines_override, page_batch=page_batch
     ):
         if result.label_lengths is not None:
             int(result.label_lengths.sum())
     return time.perf_counter() - t0
 
 
-def warm(pages, pipeline, lines_override):
+def warm(pages, pipeline, lines_override, page_batch=PAGE_BATCH):
     run_warm = [pages[i % len(pages)] for i in range(WARMUP_PAGES)]
-    list(pipeline.run(run_warm, lines_override=lines_override, page_batch=4))
+    list(pipeline.run(run_warm, lines_override=lines_override,
+                      page_batch=page_batch))
 
 
 def bench_beam_lm():
@@ -381,7 +389,7 @@ def main():
             honest_pipeline = build_pipeline(
                 TPUPagePipeline, pn_variables=pn_vars
             )
-            warm(pages, honest_pipeline, None)
+            warm(pages, honest_pipeline, None, HONEST_PAGE_BATCH)
 
         # The tunnel's throughput swings ~3x over minutes.  Interleave
         # the headline and honest-CNN trials over a WIDE best-of window
@@ -392,7 +400,8 @@ def main():
             head_times.append(timed_run(pages, pipeline, page_lines))
             if honest_pipeline is not None:
                 honest_times.append(
-                    timed_run(pages, honest_pipeline, None)
+                    timed_run(pages, honest_pipeline, None,
+                              HONEST_PAGE_BATCH)
                 )
         pages_per_sec = BENCH_PAGES / min(head_times)
         print(
@@ -405,10 +414,15 @@ def main():
         # pure device compute per page (K-chained protocol) and the
         # link floor for exactly this pipeline's byte budget.  A
         # bad-weather headline capture reads against these.
-        device_ms = pipeline.measure_device_ms(pages, page_lines)
-        floor = pipeline.measure_transport_floor(pages, page_lines)
+        device_ms = pipeline.measure_device_ms(
+            pages, page_lines, page_batch=PAGE_BATCH
+        )
+        floor = pipeline.measure_transport_floor(
+            pages, page_lines, page_batch=PAGE_BATCH,
+            mask_downloads=False,  # override loop never fetches masks
+        )
         print(
-            f"# device compute: {device_ms / 4:.1f} ms/page; "
+            f"# device compute: {device_ms / PAGE_BATCH:.1f} ms/page; "
             f"transport floor: {floor:.1f} pages/s",
             file=sys.stderr,
         )
@@ -438,7 +452,7 @@ def main():
         "vs_baseline": round(pages_per_sec / NORTH_STAR_PAGES_PER_SEC, 3),
         # Link-weather-independent (see measure_* docstrings): compare
         # across rounds even when the headline capture hits bad weather.
-        "device_ms_per_page": round(device_ms / 4, 2),
+        "device_ms_per_page": round(device_ms / PAGE_BATCH, 2),
         "transport_floor_pages_per_sec": round(floor, 2),
     }
     if honest is not None:

@@ -88,7 +88,13 @@ class FastPagePipeline:
                  line_slot: int = 32, crop_bucket: int = 2048, mesh=None,
                  transport_bits: int = 4, transport: str = "page",
                  want_logits: bool = False, want_crops: bool = False,
-                 logits_topk: int = 8):
+                 logits_topk: int = 8, reocr: bool = False):
+        """``reocr=True`` builds the recognize-only variant for re-OCR of
+        existing layouts (``--input-xml-path`` with no layout stages in
+        the config, reference: user_scripts/parse_folder.py:165-168): no
+        ParseNet is loaded, the line crops are the only device upload
+        (crops transport, skip_stage_a), and ``process_pages`` must be
+        given ``input_layouts``."""
         from pero_ocr_tpu.document.page_parser import LayoutExtractor
         from pero_ocr_tpu.parallel.pipeline import TPUPagePipeline
 
@@ -99,10 +105,19 @@ class FastPagePipeline:
             ),
             None,
         )
-        if extractor is None:
+        if reocr:
+            if extractor is not None or page_parser.layout_parsers:
+                raise ValueError(
+                    "re-OCR fast mode takes the layout from the input "
+                    "XML; remove layout stages from the config (the "
+                    "stage-by-stage path honors them)"
+                )
+            transport = "crops"
+        elif extractor is None:
             raise ValueError(
                 "--fast-pipeline needs a LAYOUT_CNN stage in the config"
             )
+        self.reocr = reocr
         if page_parser.ocr is None:
             raise ValueError(
                 "--fast-pipeline needs an [OCR] engine in the config"
@@ -128,29 +143,47 @@ class FastPagePipeline:
         # (stage-by-stage analog: ocr/line_ocr_engine.py:222-227).
         self.net_subsampling = int(getattr(ocr_engine, "net_subsampling", 4))
 
-        parsenet_wrapper = extractor.engine.parsenet
-        self.pipeline = TPUPagePipeline(
-            parsenet_wrapper.model,
-            parsenet_wrapper.variables,
-            ocr_engine.model,
-            ocr_engine.variables,
-            downsample=int(parsenet_wrapper.init_downsample),
-            detection_threshold=extractor.engine.line_detection_threshold,
-            line_end_weight=extractor.engine.line_end_weight,
-            crop_height=cropper.line_height,
-            crop_bucket=crop_bucket,
-            max_lines=max_lines,
-            line_slot=line_slot,
-            height_scale=cropper.scale,
-            mesh=mesh,
-            transport_bits=transport_bits,
-            transport=transport,
-            want_logits=want_logits,
-            logits_topk=logits_topk,
-            adaptive_downsample=bool(
-                getattr(parsenet_wrapper, "adaptive_downsample", False)
-            ),
-        )
+        if reocr:
+            self.pipeline = TPUPagePipeline(
+                None, None,
+                ocr_engine.model,
+                ocr_engine.variables,
+                crop_height=cropper.line_height,
+                crop_bucket=crop_bucket,
+                max_lines=max_lines,
+                line_slot=line_slot,
+                height_scale=cropper.scale,
+                mesh=mesh,
+                transport_bits=transport_bits,
+                transport=transport,
+                cluster_paragraphs=False,
+                want_logits=want_logits,
+                logits_topk=logits_topk,
+            )
+        else:
+            parsenet_wrapper = extractor.engine.parsenet
+            self.pipeline = TPUPagePipeline(
+                parsenet_wrapper.model,
+                parsenet_wrapper.variables,
+                ocr_engine.model,
+                ocr_engine.variables,
+                downsample=int(parsenet_wrapper.init_downsample),
+                detection_threshold=extractor.engine.line_detection_threshold,
+                line_end_weight=extractor.engine.line_end_weight,
+                crop_height=cropper.line_height,
+                crop_bucket=crop_bucket,
+                max_lines=max_lines,
+                line_slot=line_slot,
+                height_scale=cropper.scale,
+                mesh=mesh,
+                transport_bits=transport_bits,
+                transport=transport,
+                want_logits=want_logits,
+                logits_topk=logits_topk,
+                adaptive_downsample=bool(
+                    getattr(parsenet_wrapper, "adaptive_downsample", False)
+                ),
+            )
 
     def _attach_logits(self, line, result, i):
         """Rebuild the reference's sparse logits record from the
@@ -174,6 +207,71 @@ class FastPagePipeline:
             if result.crops_width is not None else 0
         )
         line.logit_coords = [0, min(t, w // self.net_subsampling)]
+
+    def _attach_line_result(self, line, result, i, gray):
+        """Write one recognized line's outputs onto a TextLine (shared
+        by the detection and re-OCR paths)."""
+        if gray is not None:
+            crop = self.pipeline._host_crop_line(
+                gray, np.asarray(line.baseline, float), line.heights
+            )
+            line.crop = np.repeat(crop[:, :, None], 3, axis=2)
+        if result.labels is not None and i < result.labels.shape[0]:
+            n = int(result.label_lengths[i])
+            line.transcription = "".join(
+                self.characters[c]
+                for c in result.labels[i, :n]
+                if 0 <= c < self._n_emit
+            )
+            if result.logits_vals is not None:
+                self._attach_logits(line, result, i)
+            if result.confidences is not None:
+                line.transcription_confidence = float(
+                    result.confidences[i]
+                )
+        else:
+            line.transcription = ""
+
+    def process_existing_layouts(
+        self,
+        pages: Iterable[np.ndarray],
+        layouts: Iterable[PageLayout],
+    ) -> Iterator[PageLayout]:
+        """Re-OCR: recognize every line of pre-existing layouts (input
+        Page XML) at fast-path throughput and return the SAME layouts
+        with transcriptions/confidences (and logits/crops on request)
+        updated in place.  Region structure, reading order, and line ids
+        are preserved; the line crops are the only device upload
+        (recognize-only dispatch, mixed page sizes accepted).
+
+        Reference shape: parse_folder with --input-xml-path and layout
+        stages off (user_scripts/parse_folder.py:165-168) — there the
+        cropper + OCR still run per page on host; here they run batched
+        on device."""
+        pages = list(pages)
+        layouts = list(layouts)
+        if len(pages) != len(layouts):
+            raise ValueError("pages and layouts must align")
+        line_objs = [list(lay.lines_iterator()) for lay in layouts]
+        seq = [
+            (
+                [np.asarray(ln.baseline, float) for ln in lines],
+                [list(ln.heights) for ln in lines],
+            )
+            for lines in line_objs
+        ]
+        for result in self.pipeline.run(
+            pages, lines_override=seq, page_batch=self.page_batch,
+            skip_stage_a=self.reocr,
+        ):
+            lines = line_objs[result.page_index]
+            gray = (
+                self.pipeline._gray(pages[result.page_index])
+                if self.want_crops and lines else None
+            )
+            for i, line in enumerate(lines):
+                self._attach_line_result(line, result, i, gray)
+            yield layouts[result.page_index]
 
     def process_pages(
         self, pages: Iterable[np.ndarray], page_ids: List[str]
@@ -200,33 +298,12 @@ class FastPagePipeline:
                         np.asarray(baseline), heights
                     ),
                 )
-                if gray is not None:
-                    # Same host warp the crop transport ships; 3-channel
-                    # for the crop-output/LMDB writers.
-                    crop = self.pipeline._host_crop_line(
-                        gray, np.asarray(baseline), heights
-                    )
-                    line.crop = np.repeat(crop[:, :, None], 3, axis=2)
-                if result.labels is not None and i < result.labels.shape[0]:
-                    n = int(result.label_lengths[i])
-                    line.transcription = "".join(
-                        self.characters[c]
-                        for c in result.labels[i, :n]
-                        if 0 <= c < self._n_emit
-                    )
-                    if result.logits_vals is not None:
-                        self._attach_logits(line, result, i)
-                    if result.confidences is not None:
-                        # Computed on device: worst-run greedy
-                        # probability for CTC (the reference's get_prob
-                        # measure), min chosen-token probability for the
-                        # transformer — lands in Page XML as the line
-                        # conf attribute.
-                        line.transcription_confidence = float(
-                            result.confidences[i]
-                        )
-                else:
-                    line.transcription = ""
+                # Crop warp (3-channel for the crop-output/LMDB
+                # writers) + transcription + device-computed confidence
+                # (the reference's get_prob measure for CTC, min
+                # chosen-token probability for transformers) + optional
+                # sparse logits.
+                self._attach_line_result(line, result, i, gray)
                 lines.append(line)
 
             # One region per paragraph cluster (the reference's

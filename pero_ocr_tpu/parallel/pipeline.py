@@ -104,6 +104,7 @@ class TPUPagePipeline:
         want_logits: bool = False,
         logits_topk: int = 8,
         adaptive_downsample: bool = False,
+        override_inflight: int = 2,
     ):
         """``mesh``: optional jax.sharding.Mesh with a 'dp' axis — page
         batches shard across it (page_batch must be a multiple of the dp
@@ -179,6 +180,11 @@ class TPUPagePipeline:
         self.crop_bucket = crop_bucket
         self.max_lines = max_lines
         self.line_slot = line_slot if max_lines is None else min(line_slot, max_lines)
+        # Depth of the dispatched-but-unfetched window in the
+        # lines-override loop (_run_crops_override): label fetches trail
+        # their dispatch by this many batches so a fetch's link round
+        # trip queues behind later batches' uploads.
+        self.override_inflight = max(1, int(override_inflight))
         self.cluster_paragraphs = cluster_paragraphs
         if cluster_paragraphs:
             from pero_ocr_tpu.layout_engines.cnn_engine import (
@@ -187,7 +193,11 @@ class TPUPagePipeline:
 
             self._clusterer = ParagraphClusterer(paragraph_line_threshold)
 
-        pn_apply = parsenet_model.apply
+        # parsenet_model may be None for recognize-only pipelines (the
+        # re-OCR path over config-provided geometry: run(...,
+        # skip_stage_a=True)); the stage-A closures are defined either
+        # way but only dispatched when a layout stage exists.
+        pn_apply = parsenet_model.apply if parsenet_model is not None else None
         rec_apply = recognizer_model.apply
         # Transformer recognizers (AR decode) are detected by their
         # decode_train entry point; CTC models run forward + greedy
@@ -493,6 +503,17 @@ class TPUPagePipeline:
             )
             return stage_b_recognize(crops3, pb)
 
+        def stage_b_strip_only(strip_u8, offsets, widths, pb: int):
+            """Recognize-only program for the re-OCR path (run(...,
+            skip_stage_a=True)): the strip is the ONLY upload — no layout
+            canvas crosses the link at all."""
+            labels, lengths, confs, lvals, lidx = stage_b_strip(
+                strip_u8, offsets, widths, pb
+            )
+            if recognizer_max_label <= 254:
+                labels = labels.astype(jnp.uint8)
+            return labels, lengths, confs, lvals, lidx
+
         def combined_strip(small_u8, strip_u8, offsets, widths, pb: int):
             """Strip-transport sibling of combined_crops: ONE program
             per batch fusing stage A of batch i with recognition of
@@ -571,6 +592,12 @@ class TPUPagePipeline:
                     batch_sh, NamedSharding(mesh, P()), line_sh, line_sh,
                 ),
             )
+            self._stage_b_strip = jax.jit(
+                stage_b_strip_only, static_argnums=(3,),
+                in_shardings=(
+                    NamedSharding(mesh, P()), line_sh, line_sh,
+                ),
+            )
         else:
             self._stage_b_crops = jax.jit(
                 stage_b_crops, static_argnums=(1,)
@@ -580,6 +607,9 @@ class TPUPagePipeline:
             )
             self._combined_strip = jax.jit(
                 combined_strip, static_argnums=(4,)
+            )
+            self._stage_b_strip = jax.jit(
+                stage_b_strip_only, static_argnums=(3,)
             )
 
         self._stage_a = stage_a
@@ -1025,8 +1055,9 @@ class TPUPagePipeline:
     def run(
         self,
         pages: Iterable[np.ndarray],
-        lines_override: Optional[Callable[[np.ndarray], Tuple[list, list]]] = None,
+        lines_override=None,
         page_batch: int = 4,
+        skip_stage_a: bool = False,
     ) -> Iterator[PageResult]:
         """Process a stream of pages with one-batch lookahead overlap.
 
@@ -1035,14 +1066,50 @@ class TPUPagePipeline:
         the batch (the tunnel charges ~70ms per program alternation).
         All pages within one `run` call must share a shape.
 
-        ``lines_override(page) -> (baselines, heights)`` replaces the
-        CNN line detection (used by benchmarks / classical-layout
-        configs); stage A still runs to include its cost."""
+        ``lines_override`` replaces the CNN line detection (classical-
+        layout configs, XML re-OCR, benchmarks): either a callable
+        ``page -> (baselines, heights)`` or a sequence aligned with
+        ``pages`` of ``(baselines, heights)`` pairs.  Stage A still runs
+        to include its cost — unless ``skip_stage_a=True`` (crops
+        transport + override only), the re-OCR mode where no layout
+        stage exists: the line crops become the ONLY upload and the
+        recognize-only program dispatches (reference analog: input-XML
+        resume with RUN_LAYOUT_PARSER off,
+        user_scripts/parse_folder.py:165-168)."""
         pages = list(pages)
         if not pages:
             return
+        if lines_override is not None and not callable(lines_override):
+            seq = list(lines_override)
+            if len(seq) != len(pages):
+                raise ValueError(
+                    f"lines_override sequence length {len(seq)} != "
+                    f"number of pages {len(pages)}"
+                )
+            # _batch_lines resolves sequence overrides by absolute page
+            # index (repeated page objects stay unambiguous).
+            def lines_override(page, _seq=seq):  # pragma: no cover
+                raise RuntimeError("sequence override is index-resolved")
+
+            lines_override._by_index = seq
+        if skip_stage_a and (
+            self.transport != "crops" or lines_override is None
+        ):
+            raise ValueError(
+                "skip_stage_a requires transport='crops' and a "
+                "lines_override (there is no other line source)"
+            )
         if self.transport == "crops":
-            yield from self._run_crops(pages, lines_override, page_batch)
+            if lines_override is not None:
+                # Config-provided geometry: stage A's masks are never
+                # consumed, which unlocks a loop with no mask download,
+                # no crop lag, and no flush dispatches (see
+                # _run_crops_override).
+                yield from self._run_crops_override(
+                    pages, lines_override, page_batch, skip_stage_a
+                )
+            else:
+                yield from self._run_crops(pages, lines_override, page_batch)
         else:
             yield from self._run_page(pages, lines_override, page_batch)
 
@@ -1169,13 +1236,17 @@ class TPUPagePipeline:
 
     def measure_transport_floor(
         self, pages, lines_override=None, page_batch: int = 4,
-        reps: int = 6,
+        reps: int = 6, mask_downloads: bool = True,
     ) -> float:
         """Pages/s ceiling set by the link alone: move exactly this
         pipeline's per-batch bytes (real payloads up, arrays with the
         combined program's output shapes down) through a trivial device
         program and time upload+dispatch+fetch.  No model compute — if
-        end-to-end throughput matches this, the tunnel is saturated."""
+        end-to-end throughput matches this, the tunnel is saturated.
+
+        ``mask_downloads=False`` models the lines-override loop
+        (_run_crops_override), which never fetches stage A's three mask
+        outputs — only labels/lengths/confidences come down."""
         import time
 
         small, payload = self._one_batch_payload(
@@ -1186,6 +1257,8 @@ class TPUPagePipeline:
             jnp.asarray(small), tuple(jnp.asarray(p) for p in payload),
             page_batch,
         )
+        if not mask_downloads:
+            outs = outs[3:]
         shapes = [
             (o.shape, o.dtype) for o in outs if o is not None
         ]
@@ -1253,7 +1326,11 @@ class TPUPagePipeline:
         page_lines = []
         for slot, i in enumerate(ids):
             if lines_override is not None:
-                b_list, h_list = lines_override(pages[i])
+                by_index = getattr(lines_override, "_by_index", None)
+                if by_index is not None:
+                    b_list, h_list = by_index[i]
+                else:
+                    b_list, h_list = lines_override(pages[i])
             else:
                 b_list, h_list = self._lines_from_masks(
                     baselines_masks[slot], connecteds[slot],
@@ -1684,3 +1761,149 @@ class TPUPagePipeline:
                      lvals_np, lidx_np),
                     stage_timer,
                 )
+
+    def _run_crops_override(self, pages, lines_override, page_batch,
+                            skip_stage_a=False):
+        """Crop transport when line geometry is config-provided (classical
+        layout engines, ``--input-xml-path`` re-OCR resume, benchmark
+        overrides): the host geometry does NOT depend on stage A's masks,
+        which removes every round the mask dependency forced on the
+        ``_run_crops`` loop —
+
+        - stage A still executes on device (cost parity with CNN
+          configs) but its outputs are never fetched: the masks' download
+          bytes and their share of the sync round disappear;
+        - no crop LAG and no flush dispatches: each batch's own crops ride
+          its own combined dispatch, so a 16-page stream at page_batch 8
+          is TWO link rounds instead of four (the tunnel charges a fixed
+          ~26-240ms per round depending on weather);
+        - label fetches trail their dispatch by ``inflight`` batches, so
+          a fetch's round trip queues behind the NEXT batches' uploads
+          instead of leaving the wire idle.
+
+        Host prep (gray/canvas/pack) + geometry + warp chain in one
+        worker thread, two batches ahead of the wire."""
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pero_ocr_tpu.utils.timing import stage_timer
+
+        n = len(pages)
+        batches = [
+            list(range(s, min(s + page_batch, n)))
+            for s in range(0, n, page_batch)
+        ]
+        n_batches = len(batches)
+        pack_div = {8: 1, 4: 2, 2: 4}[self.transport_bits]
+
+        def prep_and_warp(bi):
+            ids = batches[bi]
+            padded = ids + [ids[-1]] * (page_batch - len(ids))
+            # skip_stage_a never stacks the grays (no canvas upload), so
+            # the re-OCR shape accepts mixed page sizes in one stream.
+            grays = [self._gray(pages[i]) for i in padded]
+            ds0 = (
+                self._last_ds if self.adaptive_downsample
+                else self.downsample
+            )
+            if skip_stage_a:
+                small = None
+            else:
+                grays = np.stack(grays)
+                small = np.stack([self._canvas(g, ds0) for g in grays])
+                if self.transport_bits in (2, 4):
+                    small = self._pack4(small)
+            with stage_timer("pipeline/host_geometry"):
+                page_lines, max_n, n_slot = self._batch_lines(
+                    pages, ids, lines_override, None, ds0
+                )
+            with stage_timer("pipeline/host_warp"):
+                if self.trim_crops:
+                    payload, widths_all = self._build_strip(
+                        grays, page_lines, n_slot, page_batch
+                    )
+                elif max_n == 0:
+                    payload, widths_all = None, [None] * len(page_lines)
+                else:
+                    crop_stack = np.zeros(
+                        (page_batch, n_slot, self.crop_height,
+                         self.crop_bucket),
+                        np.uint8,
+                    )
+                    widths_all = []
+                    for slot, (b_list, h_list, _) in enumerate(page_lines):
+                        if b_list:
+                            crop_stack[slot], w = self._host_crops(
+                                grays[slot], b_list, h_list, n_slot
+                            )
+                            widths_all.append(w[: len(b_list)])
+                        else:
+                            widths_all.append(None)
+                    flat = crop_stack.reshape(
+                        page_batch * n_slot, self.crop_height,
+                        self.crop_bucket,
+                    )
+                    if self.transport_bits in (2, 4):
+                        flat = (
+                            self._pack4(flat) if self.transport_bits == 4
+                            else self._pack2(flat, self.dither_2bit)
+                        )
+                    payload = (flat,)
+            geoms = [
+                (b, h, w, c)
+                for (b, h, c), w in zip(page_lines, widths_all)
+            ]
+            return ids, geoms, small, payload
+
+        worker = ThreadPoolExecutor(max_workers=1)
+        futs = {
+            bi: worker.submit(prep_and_warp, bi)
+            for bi in range(min(2, n_batches))
+        }
+
+        inflight = deque()  # (ids, geoms, labels/lengths/confs/lvals/lidx)
+        for bi in range(n_batches):
+            with stage_timer("pipeline/prep"):
+                ids, geoms, small, payload = futs.pop(bi).result()
+            if bi + 2 < n_batches:
+                futs[bi + 2] = worker.submit(prep_and_warp, bi + 2)
+
+            if payload is None:
+                # Nothing to recognize in this batch: skip the dispatch
+                # entirely and yield geometry-only results.
+                inflight.append((ids, geoms, None, None, None, None, None))
+            elif skip_stage_a:
+                if not self.trim_crops:
+                    raise ValueError(
+                        "skip_stage_a currently requires trim_crops "
+                        "(the strip payload)"
+                    )
+                strip, offs, wid = payload
+                with stage_timer("pipeline/combined_dispatch"):
+                    outs = self._stage_b_strip(
+                        jnp.asarray(strip), jnp.asarray(offs),
+                        jnp.asarray(wid), page_batch,
+                    )
+                inflight.append((ids, geoms) + tuple(outs))
+            else:
+                small_dev = jnp.asarray(small)
+                with stage_timer("pipeline/combined_dispatch"):
+                    if self.trim_crops:
+                        strip, offs, wid = payload
+                        outs = self._combined_strip(
+                            small_dev, jnp.asarray(strip),
+                            jnp.asarray(offs), jnp.asarray(wid),
+                            page_batch,
+                        )
+                    else:
+                        outs = self._combined_crops(
+                            small_dev, jnp.asarray(payload[0]), page_batch
+                        )
+                # outs[0:3] are stage A's masks — deliberately never
+                # fetched (nobody consumes them on this path).
+                inflight.append((ids, geoms) + tuple(outs[3:]))
+            while len(inflight) > self.override_inflight:
+                yield from self._drain(inflight.popleft(), stage_timer)
+
+        while inflight:
+            yield from self._drain(inflight.popleft(), stage_timer)

@@ -462,6 +462,24 @@ def main():
         # next-round #6; reference option set:
         # pero_ocr/document_ocr/page_parser.py:237-298).
         unsupported = FastPagePipeline.unsupported_features(page_parser)
+        # Re-OCR shape: input XML provides the layout and the config
+        # runs no layout stages — the recognize-only fast path applies
+        # (the line crops are the ONLY device upload).  With layout
+        # stages present, the stage-by-stage path must run them on top
+        # of the input XML (reference semantics), so fall back.
+        fast_reocr = (
+            input_xml_path is not None and not page_parser.layout_parsers
+        )
+        if fast_reocr:
+            unsupported = [
+                r for r in unsupported
+                if "needs a LAYOUT_CNN" not in r
+            ]
+        elif input_xml_path is not None:
+            unsupported.append(
+                "INPUT_XML_PATH with layout stages (stages must re-run "
+                "on the input layout)"
+            )
         if unsupported:
             logging.warning(
                 "--fast-pipeline does not support %s; falling back to "
@@ -501,12 +519,26 @@ def main():
             transport=args.transport, mesh=mesh, page_batch=page_batch,
             want_logits=bool(output_logit_path or output_alto_path),
             want_crops=bool(output_line_path),
+            reocr=fast_reocr,
         )
         images = [
             cv2.imread(os.path.join(input_image_path, f), 1)
             for f in images_to_process
         ]
-        for layout in fast.process_pages(images, ids_to_process):
+        if fast_reocr:
+            input_layouts = []
+            for fid in ids_to_process:
+                lay = PageLayout(
+                    file=os.path.join(input_xml_path, fid + ".xml")
+                )
+                # Outputs are named by file id (reference Computator
+                # writes under file_id regardless of the XML's own id).
+                lay.id = fid
+                input_layouts.append(lay)
+            stream = fast.process_existing_layouts(images, input_layouts)
+        else:
+            stream = fast.process_pages(images, ids_to_process)
+        for layout in stream:
             if output_xml_path is not None:
                 layout.to_pagexml(
                     os.path.join(output_xml_path, layout.id + ".xml")

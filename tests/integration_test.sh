@@ -177,6 +177,50 @@ print("== compare_txt OK")
 EOF
 
 # ----------------------------------------------------------------------
+# 4a4. Re-OCR fast mode: input Page XML provides the layout, the config
+#      runs no layout stages, and the recognize-only device pipeline
+#      re-transcribes every line (reference shape:
+#      user_scripts/parse_folder.py:165-168 with RUN_LAYOUT_PARSER off).
+# ----------------------------------------------------------------------
+cat > reocr.ini <<'EOF'
+[PAGE_PARSER]
+RUN_LAYOUT_PARSER = no
+RUN_LINE_CROPPER = yes
+RUN_OCR = yes
+
+[LINE_CROPPER]
+INTERP = 2
+LINE_SCALE = 1.0
+LINE_HEIGHT = 16
+
+[OCR]
+OCR_JSON = ocr.json
+METHOD = pytorch_ocr
+EOF
+python "$REPO/scripts/parse_folder.py" -c reocr.ini -i images --device cpu \
+    --fast-pipeline --transport crops \
+    --input-xml-path out_xml --output-xml-path out_reocr 2>&1 \
+    | tee reocr.log
+grep -q "fast pipeline" reocr.log \
+    || { echo "FAIL: re-OCR did not take the fast path"; exit 1; }
+python - <<'EOF'
+import sys
+sys.path.insert(0, __import__("os").environ["REPO"])
+from pero_ocr_tpu.core.layout import PageLayout
+
+for p in range(3):
+    a = PageLayout(file=f"out_xml/page{p}.xml")
+    b = PageLayout(file=f"out_reocr/page{p}.xml")
+    ids_a = [l.id for l in a.lines_iterator()]
+    ids_b = [l.id for l in b.lines_iterator()]
+    assert ids_a == ids_b, f"page{p}: re-OCR changed line ids"
+    assert all(
+        isinstance(l.transcription, str) for l in b.lines_iterator()
+    )
+print("== re-OCR fast mode OK")
+EOF
+
+# ----------------------------------------------------------------------
 # 4b. Train a TOY ParseNet on the synthetic stripes so the fast-pipeline
 #     legs detect real lines (random weights detect nothing, which made
 #     the CNN legs vacuous).  ~100 steps of the in-framework trainer on

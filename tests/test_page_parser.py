@@ -8,7 +8,7 @@ import json
 import numpy as np
 import pytest
 
-from pero_ocr_tpu.core.layout import PageLayout
+from pero_ocr_tpu.core.layout import PageLayout, RegionLayout, TextLine
 from pero_ocr_tpu.document.page_parser import PageParser
 
 
@@ -637,6 +637,97 @@ class TestFastPipelineTransformer:
             for line in layout.lines_iterator():
                 assert isinstance(line.transcription, str)
                 assert all(ch in "ab" for ch in line.transcription)
+
+
+class TestFastPipelineReOCR:
+    """Re-OCR fast mode: input Page XML provides the layout, the config
+    runs no layout stages, and the recognize-only device pipeline
+    re-transcribes every line in place (reference shape:
+    user_scripts/parse_folder.py:165-168 with RUN_LAYOUT_PARSER off)."""
+
+    def _no_layout_config(self, ocr_json):
+        config = make_config(ocr_json)
+        config["PAGE_PARSER"]["RUN_LAYOUT_PARSER"] = "no"
+        del config["LAYOUT_PARSER_1"]
+        del config["LAYOUT_PARSER_2"]
+        return config
+
+    def _input_layout(self, img, page_id="p0"):
+        from pero_ocr_tpu.layout_engines import helpers
+
+        layout = PageLayout(id=page_id, page_size=img.shape[:2])
+        h, w = img.shape[:2]
+        region = RegionLayout(
+            "r1", np.array([[0, 0], [w, 0], [w, h], [0, h]])
+        )
+        for i in range(3):
+            y = 60 + i * 70
+            bl = np.array([[40, y], [w - 60, y]], float)
+            line = TextLine(
+                id=f"r1-l{i:03d}", index=i, baseline=bl,
+                heights=[16.0, 5.0],
+                polygon=helpers.baseline_to_textline(bl, [16.0, 5.0]),
+            )
+            region.lines.append(line)
+        layout.regions.append(region)
+        return layout
+
+    def test_reocr_transcribes_input_layout_in_place(self, ocr_json):
+        from pero_ocr_tpu.document.fast_pipeline import FastPagePipeline
+
+        parser = PageParser(self._no_layout_config(ocr_json))
+        fast = FastPagePipeline(parser, page_batch=2, line_slot=8,
+                                crop_bucket=256, reocr=True)
+        pages = [make_synthetic_page() for _ in range(3)]
+        layouts = [
+            self._input_layout(p, f"p{i}") for i, p in enumerate(pages)
+        ]
+        outs = list(fast.process_existing_layouts(pages, layouts))
+        assert [o.id for o in outs] == ["p0", "p1", "p2"]
+        for lay_in, lay_out in zip(layouts, outs):
+            assert lay_out is lay_in  # updated in place
+            lines = list(lay_out.lines_iterator())
+            assert [ln.id for ln in lines] == [
+                "r1-l000", "r1-l001", "r1-l002"
+            ]
+            for ln in lines:
+                assert isinstance(ln.transcription, str)
+                assert ln.transcription_confidence is not None
+            assert "PcGts" in lay_out.to_pagexml_string()
+
+    def test_reocr_accepts_mixed_page_sizes(self, ocr_json):
+        from pero_ocr_tpu.document.fast_pipeline import FastPagePipeline
+
+        parser = PageParser(self._no_layout_config(ocr_json))
+        fast = FastPagePipeline(parser, page_batch=2, line_slot=8,
+                                crop_bucket=256, reocr=True)
+        pages = [
+            make_synthetic_page(width=600, height=400),
+            make_synthetic_page(width=500, height=320),
+            make_synthetic_page(width=640, height=480),
+        ]
+        layouts = [
+            self._input_layout(p, f"p{i}") for i, p in enumerate(pages)
+        ]
+        outs = list(fast.process_existing_layouts(pages, layouts))
+        assert len(outs) == 3
+
+    def test_reocr_rejects_layout_stage_configs(self, ocr_json):
+        from pero_ocr_tpu.document.fast_pipeline import FastPagePipeline
+
+        parser = PageParser(make_config(ocr_json))
+        with pytest.raises(ValueError, match="re-OCR"):
+            FastPagePipeline(parser, reocr=True)
+
+    def test_reocr_rejects_misaligned_inputs(self, ocr_json):
+        from pero_ocr_tpu.document.fast_pipeline import FastPagePipeline
+
+        parser = PageParser(self._no_layout_config(ocr_json))
+        fast = FastPagePipeline(parser, reocr=True)
+        with pytest.raises(ValueError, match="align"):
+            list(fast.process_existing_layouts(
+                [make_synthetic_page()], []
+            ))
 
 
 class TestFastPipelineRegions:

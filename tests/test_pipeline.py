@@ -1001,3 +1001,91 @@ class TestLineConfidence:
             # Min chosen-token probability over emitted chars, on device.
             assert r.confidences is not None
             assert np.all((r.confidences >= 0) & (r.confidences <= 1))
+
+
+class TestOverrideLoop:
+    """Config-provided geometry loop (_run_crops_override): no mask
+    download, no crop lag, no flush dispatches; optional recognize-only
+    dispatch (skip_stage_a) for the XML re-OCR shape (reference analog:
+    input-XML resume, user_scripts/parse_folder.py:165-168)."""
+
+    def _make(self, parsenet=True, **kw):
+        if parsenet:
+            pn = ParseNet(base_features=4, depth=2)
+            pn_params = pn.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
+            )
+        else:
+            pn = pn_params = None
+        spec = RecognizerSpec(
+            num_classes=8, line_height=16, conv_features=(4, 8),
+            subsampling=2, lstm_layers=1, lstm_features=8,
+        )
+        recognizer = CTCRecognizer(spec)
+        rec_params = recognizer.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 16, 64, 3), jnp.float32)
+        )
+        return TPUPagePipeline(
+            pn, pn_params, recognizer, rec_params,
+            downsample=4, crop_height=16, crop_bucket=256, line_slot=8,
+            transport="crops", transport_bits=4, **kw
+        )
+
+    def test_override_loop_matches_legacy_lagged_loop(self):
+        p = self._make()
+        pages = synthetic_pages(5)
+        r_new = list(p.run(pages, lines_override=fixed_lines, page_batch=2))
+        r_old = list(p._run_crops(pages, fixed_lines, 2))
+        assert len(r_new) == len(r_old) == 5
+        for a, b in zip(r_new, r_old):
+            assert a.page_index == b.page_index
+            np.testing.assert_array_equal(a.labels, b.labels)
+            np.testing.assert_array_equal(a.label_lengths, b.label_lengths)
+            np.testing.assert_allclose(a.confidences, b.confidences,
+                                       rtol=1e-5)
+
+    def test_skip_stage_a_same_labels(self):
+        p = self._make()
+        pages = synthetic_pages(4)
+        r_full = list(p.run(pages, lines_override=fixed_lines, page_batch=2))
+        r_skip = list(p.run(pages, lines_override=fixed_lines, page_batch=2,
+                            skip_stage_a=True))
+        for a, b in zip(r_full, r_skip):
+            np.testing.assert_array_equal(a.labels, b.labels)
+            np.testing.assert_array_equal(a.label_lengths, b.label_lengths)
+
+    def test_recognize_only_pipeline_without_parsenet(self):
+        """A pipeline built with NO ParseNet serves the re-OCR shape."""
+        p = self._make(parsenet=False)
+        pages = synthetic_pages(3)
+        results = list(p.run(pages, lines_override=fixed_lines,
+                             page_batch=2, skip_stage_a=True))
+        assert len(results) == 3
+        for r in results:
+            assert r.labels is not None
+            assert r.label_lengths.shape[0] == p.line_slot
+
+    def test_sequence_override_with_repeated_page_objects(self):
+        """Per-page (baselines, heights) pairs as a list; the same page
+        object may appear at several indices (stream replication)."""
+        p = self._make()
+        base = synthetic_pages(1)[0]
+        pages = [base, base, base]
+        seq = []
+        for i in range(3):
+            bl, hh = fixed_lines(base)
+            seq.append((bl[: i + 1], hh[: i + 1]))
+        results = list(p.run(pages, lines_override=seq, page_batch=2))
+        assert [len(r.baselines) for r in results] == [1, 2, 3]
+
+    def test_sequence_override_wrong_length_rejected(self):
+        p = self._make()
+        with pytest.raises(ValueError, match="sequence length"):
+            list(p.run(synthetic_pages(2), lines_override=[([], [])],
+                       page_batch=2))
+
+    def test_skip_stage_a_requires_override(self):
+        p = self._make()
+        with pytest.raises(ValueError, match="skip_stage_a"):
+            list(p.run(synthetic_pages(2), page_batch=2,
+                       skip_stage_a=True))
