@@ -451,6 +451,83 @@ void separator_penalties_f32(
     }
 }
 
+// ---------------------------------------------------------------------
+// Batched polygon proximity test for paragraph clustering: for each
+// candidate pair (a, b), decide whether the minimum boundary distance
+// between polygon a and polygon b is <= thresholds[k] (the Minkowski
+// dilated-intersection test, cnn_engine.make_clusters).  Early-exits on
+// the first segment pair under the threshold — the common case for
+// same-paragraph neighbors.
+// verts: (n_polys, pmax, 2) float64, padded by repeating the last
+// vertex; npts: per-polygon vertex counts; pairs: (K, 2) int32;
+// out: (K,) uint8 booleans.
+// ---------------------------------------------------------------------
+static inline double seg_seg_dist2(double ax, double ay, double bx,
+                                   double by, double cx, double cy,
+                                   double dx_, double dy_) {
+    const double d1x = bx - ax, d1y = by - ay;
+    const double d2x = dx_ - cx, d2y = dy_ - cy;
+    const double rx = ax - cx, ry = ay - cy;
+    const double A = d1x * d1x + d1y * d1y;
+    const double E = d2x * d2x + d2y * d2y;
+    const double B = d1x * d2x + d1y * d2y;
+    const double C = d1x * rx + d1y * ry;
+    const double F = d2x * rx + d2y * ry;
+    const double denom = A * E - B * B;
+    // Convex quadratic over the [0,1]^2 box: the minimum is either the
+    // unconstrained stationary point (when it lands inside) or on one
+    // of the four boundary edges, each a 1-D convex problem in closed
+    // form.  Evaluating all candidates is exact — a single clamped
+    // alternation pass is not.
+    auto dist2_at = [&](double s, double t) {
+        const double px = ax + s * d1x - (cx + t * d2x);
+        const double py = ay + s * d1y - (cy + t * d2y);
+        return px * px + py * py;
+    };
+    auto clamp01 = [](double v) { return std::min(1.0, std::max(0.0, v)); };
+    const double t_s0 = (E > 1e-12) ? clamp01(F / E) : 0.0;
+    const double t_s1 = (E > 1e-12) ? clamp01((B + F) / E) : 0.0;
+    const double s_t0 = (A > 1e-12) ? clamp01(-C / A) : 0.0;
+    const double s_t1 = (A > 1e-12) ? clamp01((B - C) / A) : 0.0;
+    double best = std::min(
+        std::min(dist2_at(0.0, t_s0), dist2_at(1.0, t_s1)),
+        std::min(dist2_at(s_t0, 0.0), dist2_at(s_t1, 1.0)));
+    if (denom > 1e-12) {
+        const double s = (B * F - C * E) / denom;
+        const double t = (B * s + F) / E;
+        if (s > 0.0 && s < 1.0 && t > 0.0 && t < 1.0)
+            best = std::min(best, dist2_at(s, t));
+    }
+    return best;
+}
+
+void polygons_close_f64(const double* verts, const int32_t* npts,
+                        int32_t pmax, const int32_t* pairs, int32_t k,
+                        const double* thresholds, uint8_t* out) {
+    for (int32_t q = 0; q < k; ++q) {
+        const int32_t ia = pairs[2 * q], ib = pairs[2 * q + 1];
+        const double* va = verts + (size_t)ia * pmax * 2;
+        const double* vb = verts + (size_t)ib * pmax * 2;
+        const int32_t na = npts[ia], nb = npts[ib];
+        const double thr2 = thresholds[q] * thresholds[q];
+        uint8_t close = 0;
+        for (int32_t i = 0; i < na && !close; ++i) {
+            const int32_t i2 = (i + 1 == na) ? 0 : i + 1;
+            const double ax = va[2 * i], ay = va[2 * i + 1];
+            const double bx = va[2 * i2], by = va[2 * i2 + 1];
+            for (int32_t j = 0; j < nb; ++j) {
+                const int32_t j2 = (j + 1 == nb) ? 0 : j + 1;
+                if (seg_seg_dist2(ax, ay, bx, by, vb[2 * j], vb[2 * j + 1],
+                                  vb[2 * j2], vb[2 * j2 + 1]) <= thr2) {
+                    close = 1;
+                    break;
+                }
+            }
+        }
+        out[q] = close;
+    }
+}
+
 int32_t viterbi_ctc_f32(const float* neg_logprobs_states, int32_t t,
                         int32_t s, const uint8_t* skip_ok,
                         int32_t* path_out) {

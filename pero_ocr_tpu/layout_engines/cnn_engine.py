@@ -39,6 +39,7 @@ from pero_ocr_tpu.layout_engines.parsenet_wrapper import (
     ParseNetWrapper,
 )
 from pero_ocr_tpu.ops import morphology
+from pero_ocr_tpu.utils import native
 from pero_ocr_tpu.utils.timing import stage_timer
 
 logger = logging.getLogger(__name__)
@@ -401,9 +402,16 @@ class LayoutEngine:
             # boundary distance is under the dilation sum — exact, and
             # one batched vectorized computation replaces per-pair
             # rasterized buffering (~60x on a 40-line page).
-            dists = geometry.polygon_min_distance_batch(polys, pairs)
+            thresholds = dilate_d[pairs[:, 0]] + dilate_d[pairs[:, 1]]
+            # Native kernel early-exits per pair on the first segment
+            # pair under the threshold (the common same-paragraph case);
             # <= : shapely's buffer().intersects() counts touching.
-            close = dists <= dilate_d[pairs[:, 0]] + dilate_d[pairs[:, 1]]
+            close = native.native_polygons_close(
+                polys, pairs, thresholds.astype(np.float64)
+            )
+            if close is None:
+                dists = geometry.polygon_min_distance_batch(polys, pairs)
+                close = dists <= thresholds
             close_pairs = pairs[close]
             pen = self._pair_penalties_batch(
                 b_list, h_list, close_pairs, separator_map, ds

@@ -185,6 +185,12 @@ class TPUPagePipeline:
         # their dispatch by this many batches so a fetch's link round
         # trip queues behind later batches' uploads.
         self.override_inflight = max(1, int(override_inflight))
+        # CNN-path crop lag (_run_crops): batch i's crops ride dispatch
+        # i+lag, overlapping the host CC parse + warp with the link.
+        # Each unit of lag costs one flush dispatch round per stream;
+        # 2 hides a full batch cycle of host work, 1 suffices when the
+        # native warp/CC kernels carry the host side.
+        self.crop_lag = 2
         self.cluster_paragraphs = cluster_paragraphs
         if cluster_paragraphs:
             from pero_ocr_tpu.layout_engines.cnn_engine import (
@@ -1560,7 +1566,7 @@ class TPUPagePipeline:
             for s in range(0, n, page_batch)
         ]
         n_batches = len(batches)
-        lag = 2 if n_batches > 1 else 1
+        lag = min(self.crop_lag, 2 if n_batches > 1 else 1)
 
         def prep(batch_idx):
             """Host image work for one batch (worker thread): grayscale

@@ -112,6 +112,17 @@ def get_library() -> Optional[ctypes.CDLL]:
         except AttributeError:
             pass
         try:
+            lib.polygons_close_f64.restype = None
+            lib.polygons_close_f64.argtypes = [
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_uint8),
+            ]
+        except AttributeError:
+            pass
+        try:
             lib.warp_affine_lines_u8.restype = None
             lib.warp_affine_lines_u8.argtypes = [
                 ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32,
@@ -297,3 +308,33 @@ def native_viterbi_ctc(
             "best path has cost of np.inf"
         )
     return path
+
+
+def native_polygons_close(
+    polys: Sequence[np.ndarray], pairs: np.ndarray,
+    thresholds: np.ndarray,
+) -> Optional[np.ndarray]:
+    """For each (a, b) pair, whether the polygons' minimum boundary
+    distance is <= thresholds[k] (the clustering's Minkowski
+    dilated-intersection test); early-exits per pair.  Returns (K,)
+    bool, or None when the library is missing."""
+    lib = get_library()
+    if lib is None or not hasattr(lib, "polygons_close_f64"):
+        return None
+    pairs = np.ascontiguousarray(pairs, dtype=np.int32)
+    k = len(pairs)
+    out = np.empty(k, dtype=np.uint8)
+    if k == 0:
+        return out.astype(bool)
+    npts = np.asarray([len(p) for p in polys], dtype=np.int32)
+    pmax = int(npts.max())
+    verts = np.zeros((len(polys), pmax, 2), dtype=np.float64)
+    for i, p in enumerate(polys):
+        verts[i, : len(p)] = p
+    thresholds = np.ascontiguousarray(thresholds, dtype=np.float64)
+    lib.polygons_close_f64(
+        _ptr(verts, ctypes.c_double), _ptr(npts, ctypes.c_int32), pmax,
+        _ptr(pairs, ctypes.c_int32), k,
+        _ptr(thresholds, ctypes.c_double), _ptr(out, ctypes.c_uint8),
+    )
+    return out.astype(bool)

@@ -167,6 +167,32 @@ class TestPolygonDistance:
                 geometry.polygon_min_distance(polys[i], polys[j]), abs=1e-9
             )
 
+    def test_native_close_matches_batch_threshold(self):
+        """The native early-exit proximity kernel agrees with the exact
+        batched distance + threshold comparison, including thresholds
+        straddling the true distance (ties count as close, like
+        shapely's buffer().intersects())."""
+        from pero_ocr_tpu.core import geometry
+        from pero_ocr_tpu.utils import native
+
+        rng = np.random.default_rng(1)
+        polys = [
+            rng.uniform(0, 100, (int(n), 2))
+            for n in rng.integers(3, 9, size=8)
+        ]
+        pairs = np.array(
+            [[i, j] for i in range(8) for j in range(i + 1, 8)], np.int32
+        )
+        dists = geometry.polygon_min_distance_batch(polys, pairs)
+        # Exact ties at the last ulp can flip between the squared
+        # (native) and unsquared comparison; probe just off the tie.
+        for scale in (0.5, 1.0 - 1e-9, 1.0 + 1e-9, 2.0):
+            thr = np.maximum(dists * scale, 1e-9)
+            close = native.native_polygons_close(polys, pairs, thr)
+            if close is None:
+                pytest.skip("native library not built")
+            np.testing.assert_array_equal(close, dists <= thr)
+
 
 class TestSeparatorPenalty:
     def test_penalty_reads_band_mass(self):
