@@ -47,13 +47,14 @@ N_TEXT_ROWS = 40
 LINE_HEIGHT_PX = 40
 WARMUP_PAGES = 8
 BENCH_PAGES = 16
-# Headline (lines-override) page batch: the override loop dispatches one
-# combined program per batch with no lag flushes, so bigger batches
-# amortize the tunnel's fixed per-round cost; 8 beat 4 in the measured
-# A/B (scripts/exp_pb_sweep.py).  The honest-CNN loop keeps 4: its
-# host CC parse + clustering grow per batch on the 1-core host.
+# Page batch 8 for both loops: measured best in the crop_lag x
+# page_batch sweeps (scripts/exp_honest_sweep.py, scripts/exp_pb16.py —
+# 16 loses in BOTH loops: the doubled serial upload and pre-dispatch
+# host warp outweigh the saved link rounds).  The honest loop moved
+# 4 -> 8 once the native CC-parse/clustering/warp kernels cut its
+# per-batch host cost (r3).
 PAGE_BATCH = 8
-HONEST_PAGE_BATCH = 4
+HONEST_PAGE_BATCH = 8
 
 
 def make_page(rng, height=PAGE_H, width=PAGE_W):
