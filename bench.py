@@ -46,7 +46,11 @@ PAGE_H, PAGE_W = 2560, 1792
 N_TEXT_ROWS = 40
 LINE_HEIGHT_PX = 40
 WARMUP_PAGES = 8
-BENCH_PAGES = 16
+# 6 batches per trial at page_batch 8: the override loop's wire time per
+# batch equals the transport floor's once in steady state, so the
+# headline-vs-floor gap is the unoverlapped batch-0 host prep (~90ms)
+# plus the final fetch — 1/2 of a 2-batch trial, 1/6 of a 6-batch one.
+BENCH_PAGES = 48
 # Page batch 8 for both loops: measured best in the crop_lag x
 # page_batch sweeps (scripts/exp_honest_sweep.py, scripts/exp_pb16.py —
 # 16 loses in BOTH loops: the doubled serial upload and pre-dispatch

@@ -63,15 +63,29 @@ class ParseNetWrapper:
         self.last_downsample = downsample
         self.max_megapixels = max_mp
 
-        self.model = ParseNet(
-            base_features=base_features, depth=depth, stem=stem
+        from pero_ocr_tpu.utils.ts_adapters import (
+            TSParseNetModel, is_torchscript_file,
         )
 
-        def init_fn():
-            rng = jax.random.PRNGKey(0)
-            return self.model.init(rng, jnp.zeros((1, 64, 64, 3), jnp.float32))
+        if model_path and is_torchscript_file(model_path):
+            # The reference's own distribution format: an opaque
+            # TorchScript archive (torch_parsenet.py:15).  The serialized
+            # graph converts directly to a jittable JAX function
+            # (utils/ts_graph.py) — no architecture source needed.
+            self.model = TSParseNetModel.load(model_path)
+            self.variables = self.model.variables
+        else:
+            self.model = ParseNet(
+                base_features=base_features, depth=depth, stem=stem
+            )
 
-        self.variables = load_or_init(model_path, init_fn, name="ParseNet")
+            def init_fn():
+                rng = jax.random.PRNGKey(0)
+                return self.model.init(
+                    rng, jnp.zeros((1, 64, 64, 3), jnp.float32)
+                )
+
+            self.variables = load_or_init(model_path, init_fn, name="ParseNet")
         self._forward = jax.jit(
             lambda images: self.model.apply(self.variables, images)
         )

@@ -35,20 +35,52 @@ class CTCEngineLineOCR(BaseEngineLineOCR):
         # pytorch_ocr_engine.py:46 appends it to the charset).
         self.characters = tuple(self.characters) + (BLANK_CHAR,)
 
-        self.spec = RecognizerSpec.from_json_dict(
-            self.config, num_classes=len(self.characters)
+        from pero_ocr_tpu.utils.ts_adapters import (
+            TSRecognizerModel, is_torchscript_file,
         )
-        self.net_subsampling = self.spec.subsampling
-        self.model = CTCRecognizer(self.spec)
 
-        def init_fn():
-            rng = jax.random.PRNGKey(0)
-            dummy = jnp.zeros((1, self.line_px_height, 128, 3), jnp.float32)
-            if self.spec.embed_num:
-                return self.model.init(rng, dummy, jnp.zeros((1,), jnp.int32))
-            return self.model.init(rng, dummy)
+        if self.checkpoint and is_torchscript_file(self.checkpoint):
+            # The reference's distribution format: an opaque TorchScript
+            # archive (pytorch_ocr_engine.py:52-57) converted straight
+            # from its serialized graph to a jittable JAX function
+            # (utils/ts_graph.py); the adapter probes subsampling and
+            # class count and mimics the native RecognizerSpec.
+            self.model = TSRecognizerModel.load(
+                self.checkpoint, line_height=self.line_px_height,
+                embed_num=self.config.get("embed_num", 0) or 0,
+            )
+            self.spec = self.model.spec
+            if self.spec.num_classes != len(self.characters):
+                raise ValueError(
+                    f"TorchScript recognizer has {self.spec.num_classes} "
+                    f"output classes but the OCR JSON charset (+blank) "
+                    f"has {len(self.characters)}"
+                )
+            self.net_subsampling = self.spec.subsampling
+            self.variables = self.model.variables
+        else:
+            self.spec = RecognizerSpec.from_json_dict(
+                self.config, num_classes=len(self.characters)
+            )
+            self.net_subsampling = self.spec.subsampling
+            self.model = CTCRecognizer(self.spec)
 
-        self.variables = load_or_init(self.checkpoint, init_fn, name="CTC OCR")
+            def init_fn():
+                rng = jax.random.PRNGKey(0)
+                dummy = jnp.zeros(
+                    (1, self.line_px_height, 128, 3), jnp.float32
+                )
+                if self.spec.embed_num:
+                    return self.model.init(
+                        rng, dummy, jnp.zeros((1,), jnp.int32)
+                    )
+                return self.model.init(
+                    rng, dummy
+                )
+
+            self.variables = load_or_init(
+                self.checkpoint, init_fn, name="CTC OCR"
+            )
 
         self._forward = jax.jit(self._forward_impl)
 
@@ -93,6 +125,14 @@ class CTCEngineLineOCR(BaseEngineLineOCR):
         table = find_embed(
             flax.serialization.to_state_dict(self.variables)
         )
+        if table is None:
+            # Converted TorchScript models keep torch naming: a 2-D
+            # parameter on an attribute path containing "embed".
+            for key, value in self.variables.items():
+                arr = np.asarray(value)
+                if "embed" in key.lower() and arr.ndim == 2:
+                    table = arr
+                    break
         if table is None:
             raise ValueError("Model has no embedding table")
         return table
