@@ -372,7 +372,7 @@ class TPUPagePipeline:
             crops = jax.vmap(one)(pages3, baselines, heights)
             return crops.reshape((pb * n,) + crops.shape[2:])
 
-        def stage_b_recognize(crops, pb: int):
+        def stage_b_recognize(crops, pb: int, widths=None):
             """Crops stay device-resident between the two programs.  (Kept
             as a SEPARATE program from the warp: fused into one, XLA
             re-executes the page gather inside the recognizer's conv
@@ -382,6 +382,13 @@ class TPUPagePipeline:
             whole greedy AR decode runs as one lax.scan with KV caching
             (models/transformer.greedy_decode) — the fast path is no
             longer CTC-only.
+
+            ``widths`` ((N,) int32 crop pixel widths, optional): CTC
+            decode/confidence run over each line's VALID frames only
+            (the reference's logit_coords semantics,
+            reference: pero_ocr/ocr_engine/line_ocr_engine.py:149-166),
+            so outputs are invariant to the crop tensor's zero tail —
+            i.e. to the rebuild-width ladder and the crop bucket.
 
             Returns (labels, lengths, confs, logit_vals, logit_idx);
             the last two are None unless want_logits (see __init__)."""
@@ -424,7 +431,15 @@ class TPUPagePipeline:
                 return (tokens.reshape(pb, n, -1), lengths.reshape(pb, n),
                         confs.reshape(pb, n), None, None)
             logits = rec_apply(recognizer_variables, crops / 255.0)
-            valid = jnp.full((crops.shape[0],), logits.shape[1], jnp.int32)
+            if widths is None:
+                valid = jnp.full(
+                    (crops.shape[0],), logits.shape[1], jnp.int32
+                )
+            else:
+                sub = max(1, crops.shape[2] // logits.shape[1])
+                valid = jnp.clip(
+                    (widths + sub - 1) // sub, 0, logits.shape[1]
+                ).astype(jnp.int32)
             labels, lengths = ctc_ops.greedy_ctc_labels(logits, valid)
             # One float per line replaces the logits download for the
             # reference's confidence observability (get_prob semantics).
@@ -462,12 +477,13 @@ class TPUPagePipeline:
                 packed_u8.shape[:-1] + (packed_u8.shape[-1] * 4,)
             )
 
-        def stage_b_crops(crops_u8, pb: int):
+        def stage_b_crops(crops_u8, widths, pb: int):
             """Crop-transport stage B: crops_u8 is (PB*N, Hc, Wb) uint8
             grayscale host-warped crops — or (PB*N, Hc, Wb/2) nibble
             pairs when transport_bits=4, (PB*N, Hc, Wb/4) 2-bit quads
             when transport_bits=2 — the device unpacks, broadcasts
-            channels, and recognizes."""
+            channels, and recognizes each line's valid frames (``widths``
+            (PB*N,) int32 crop pixel widths)."""
             if transport_bits == 4:
                 crops_u8 = unpack4_expr(crops_u8)
             elif transport_bits == 2:
@@ -477,9 +493,9 @@ class TPUPagePipeline:
                 crops_u8.shape + (3,),
             )
             # (labels, lengths, confs, logit_vals, logit_idx)
-            return stage_b_recognize(crops3, pb)
+            return stage_b_recognize(crops3, pb, widths)
 
-        def stage_b_strip(strip_u8, offsets, widths, pb: int):
+        def stage_b_strip(strip_u8, offsets, widths, pb: int, rw: int):
             """Width-trimmed crop transport: strip_u8 is the (Wb, Hc)
             width-major strip of concatenated valid crop columns — or
             (Wb, Hc/2) / (Wb, Hc/4) bit-packed along the HEIGHT axis at
@@ -488,39 +504,46 @@ class TPUPagePipeline:
             rebuilds the bucketed crop tensor with one vmapped
             dynamic_slice per line (coarse contiguous blocks, not an
             elementwise gather), masks past-width columns to the same
-            zero padding the dense path ships, and recognizes."""
+            zero padding the dense path ships, and recognizes.
+
+            ``rw`` (static) is the REBUILD width — the _rebuild_width
+            ladder entry covering the batch's widest crop.  Narrower
+            batches rebuild (and recognize) narrower tensors instead of
+            always chewing the full crop_bucket of zero tail (measured
+            ~4 ms per 8-page bench batch at rw 768 vs 1024)."""
             if transport_bits == 4:
                 strip_u8 = unpack4_expr(strip_u8)
             elif transport_bits == 2:
                 strip_u8 = unpack2_expr(strip_u8)
-            strip = jnp.pad(strip_u8, ((0, bucket), (0, 0)))
+            strip = jnp.pad(strip_u8, ((0, rw), (0, 0)))
             gathered = jax.vmap(
                 lambda o: jax.lax.dynamic_slice(
-                    strip, (o, 0), (bucket, crop_h)
+                    strip, (o, 0), (rw, crop_h)
                 )
-            )(offsets)  # (N, bucket, Hc)
-            col = jnp.arange(bucket, dtype=jnp.int32)[None, :, None]
+            )(offsets)  # (N, rw, Hc)
+            col = jnp.arange(rw, dtype=jnp.int32)[None, :, None]
             gathered = jnp.where(
                 col < widths[:, None, None], gathered, jnp.uint8(0)
             )
-            crops = gathered.transpose(0, 2, 1)  # (N, Hc, bucket)
+            crops = gathered.transpose(0, 2, 1)  # (N, Hc, rw)
             crops3 = jnp.broadcast_to(
                 crops[..., None].astype(jnp.float32), crops.shape + (3,)
             )
-            return stage_b_recognize(crops3, pb)
+            return stage_b_recognize(crops3, pb, widths)
 
-        def stage_b_strip_only(strip_u8, offsets, widths, pb: int):
+        def stage_b_strip_only(strip_u8, offsets, widths, pb: int, rw: int):
             """Recognize-only program for the re-OCR path (run(...,
             skip_stage_a=True)): the strip is the ONLY upload — no layout
             canvas crosses the link at all."""
             labels, lengths, confs, lvals, lidx = stage_b_strip(
-                strip_u8, offsets, widths, pb
+                strip_u8, offsets, widths, pb, rw
             )
             if recognizer_max_label <= 254:
                 labels = labels.astype(jnp.uint8)
             return labels, lengths, confs, lvals, lidx
 
-        def combined_strip(small_u8, strip_u8, offsets, widths, pb: int):
+        def combined_strip(small_u8, strip_u8, offsets, widths, pb: int,
+                           rw: int):
             """Strip-transport sibling of combined_crops: ONE program
             per batch fusing stage A of batch i with recognition of
             batch i-LAG's trimmed strip."""
@@ -530,13 +553,13 @@ class TPUPagePipeline:
                 small_u8.astype(jnp.float32)[..., None]
             )
             labels, lengths, confs, lvals, lidx = stage_b_strip(
-                strip_u8, offsets, widths, pb
+                strip_u8, offsets, widths, pb, rw
             )
             if recognizer_max_label <= 254:
                 labels = labels.astype(jnp.uint8)
             return packed, heights_q, sep_q, labels, lengths, confs, lvals, lidx
 
-        def combined_crops(small_u8, crops_u8, pb: int):
+        def combined_crops(small_u8, crops_u8, widths, pb: int):
             """ONE program per batch for the crop transport: stage A of
             batch i (small pages -> packed masks) fused with recognition
             of batch i-1's host-warped crops.  The tunnel then sees a
@@ -552,7 +575,9 @@ class TPUPagePipeline:
             packed, heights_q, sep_q = maps_and_pack(
                 small_u8.astype(jnp.float32)[..., None]
             )
-            labels, lengths, confs, lvals, lidx = stage_b_crops(crops_u8, pb)
+            labels, lengths, confs, lvals, lidx = stage_b_crops(
+                crops_u8, widths, pb
+            )
             # Label ids fit a byte for small-enough charsets (CTC pad -1
             # -> 255; transformer pads with its EOS id): quarters the
             # label download.
@@ -580,12 +605,12 @@ class TPUPagePipeline:
                 in_shardings=(batch_sh, batch_sh, batch_sh),
             )
             self._stage_b_crops = jax.jit(
-                stage_b_crops, static_argnums=(1,),
-                in_shardings=(batch_sh,),
+                stage_b_crops, static_argnums=(2,),
+                in_shardings=(batch_sh, batch_sh),
             )
             self._combined_crops = jax.jit(
-                combined_crops, static_argnums=(2,),
-                in_shardings=(batch_sh, batch_sh),
+                combined_crops, static_argnums=(3,),
+                in_shardings=(batch_sh, batch_sh, batch_sh),
             )
             # Strip transport under the mesh: the strip replicates (its
             # columns belong to lines of different pages); the per-line
@@ -593,29 +618,29 @@ class TPUPagePipeline:
             # tensor comes out dp-sharded for the recognizer.
             line_sh = NamedSharding(mesh, P("dp"))
             self._combined_strip = jax.jit(
-                combined_strip, static_argnums=(4,),
+                combined_strip, static_argnums=(4, 5),
                 in_shardings=(
                     batch_sh, NamedSharding(mesh, P()), line_sh, line_sh,
                 ),
             )
             self._stage_b_strip = jax.jit(
-                stage_b_strip_only, static_argnums=(3,),
+                stage_b_strip_only, static_argnums=(3, 4),
                 in_shardings=(
                     NamedSharding(mesh, P()), line_sh, line_sh,
                 ),
             )
         else:
             self._stage_b_crops = jax.jit(
-                stage_b_crops, static_argnums=(1,)
+                stage_b_crops, static_argnums=(2,)
             )
             self._combined_crops = jax.jit(
-                combined_crops, static_argnums=(2,)
+                combined_crops, static_argnums=(3,)
             )
             self._combined_strip = jax.jit(
-                combined_strip, static_argnums=(4,)
+                combined_strip, static_argnums=(4, 5)
             )
             self._stage_b_strip = jax.jit(
-                stage_b_strip_only, static_argnums=(3,)
+                stage_b_strip_only, static_argnums=(3, 4)
             )
 
         self._stage_a = stage_a
@@ -912,6 +937,23 @@ class TPUPagePipeline:
     # compresses.
     STRIP_MIN_COLS = 1024
 
+    def _rebuild_step(self) -> int:
+        """Ladder quantum for strip rebuild widths (quarters of
+        crop_bucket, floor 256 — at most 4 compiled stage-B variants
+        per (pb, n_slot) shape)."""
+        return max(256, self.crop_bucket // 4)
+
+    def _rebuild_width(self, widths) -> int:
+        """Static strip rebuild width for one batch: the smallest
+        ladder entry covering the batch's widest crop.  Exact
+        semantics — every shipped column is preserved; narrower
+        batches just stop the recognizer from chewing crop_bucket's
+        all-zero tail (measured ~4 ms per 8-page bench batch at the
+        bench shape, max width 730 -> rw 768 instead of 1024)."""
+        step = self._rebuild_step()
+        mx = int(widths.max()) if getattr(widths, "size", 0) else 0
+        return int(min(self.crop_bucket, max(step, -(-mx // step) * step)))
+
     def _strip_cols(self, total: int) -> int:
         floor = max(self.STRIP_MIN_COLS, 2 * self.crop_bucket)
         return max(floor, 1 << int(np.ceil(np.log2(max(total, 1)))))
@@ -1181,11 +1223,15 @@ class TPUPagePipeline:
                 (page_batch, n_slot, self.crop_height, self.crop_bucket),
                 np.uint8,
             )
+            widths_flat = np.zeros(page_batch * n_slot, np.int32)
             for slot, (b_list, h_list, _) in enumerate(page_lines):
                 if b_list:
-                    crop_stack[slot], _ = self._host_crops(
+                    crop_stack[slot], w = self._host_crops(
                         grays[slot], b_list, h_list, n_slot
                     )
+                    widths_flat[
+                        slot * n_slot : slot * n_slot + len(b_list)
+                    ] = w[: len(b_list)]
             flat = crop_stack.reshape(
                 page_batch * n_slot, self.crop_height, self.crop_bucket
             )
@@ -1193,16 +1239,21 @@ class TPUPagePipeline:
                 flat = self._pack4(flat)
             elif self.transport_bits == 2:
                 flat = self._pack2(flat, self.dither_2bit)
-            payload = (flat,)
+            payload = (flat, widths_flat)
         return small, payload
 
-    def _combined_dispatch_once(self, small_dev, payload_dev, page_batch):
+    def _combined_dispatch_once(self, small_dev, payload_dev, page_batch,
+                                rw=None):
         if self.trim_crops:
             strip_dev, offs_dev, wid_dev = payload_dev
+            if rw is None:
+                rw = self._rebuild_width(np.asarray(wid_dev))
             return self._combined_strip(
-                small_dev, strip_dev, offs_dev, wid_dev, page_batch
+                small_dev, strip_dev, offs_dev, wid_dev, page_batch, rw
             )
-        return self._combined_crops(small_dev, payload_dev[0], page_batch)
+        return self._combined_crops(
+            small_dev, payload_dev[0], payload_dev[1], page_batch
+        )
 
     def measure_device_ms(
         self, pages, lines_override=None, page_batch: int = 4,
@@ -1610,6 +1661,7 @@ class TPUPagePipeline:
                      self.crop_bucket),
                     np.uint8,
                 )
+                widths_flat = np.zeros(page_batch * n_slot, np.int32)
                 widths_all = []
                 for slot, (b_list, h_list, _) in enumerate(page_lines):
                     if b_list:
@@ -1617,6 +1669,9 @@ class TPUPagePipeline:
                             grays[slot], b_list, h_list, n_slot
                         )
                         widths_all.append(w[: len(b_list)])
+                        widths_flat[
+                            slot * n_slot : slot * n_slot + len(b_list)
+                        ] = w[: len(b_list)]
                     else:
                         widths_all.append(None)
             geoms = [
@@ -1634,7 +1689,7 @@ class TPUPagePipeline:
                         self._pack4(flat) if self.transport_bits == 4
                         else self._pack2(flat, self.dither_2bit)
                     )
-            return ids, geoms, flat, n_slot
+            return ids, geoms, (flat, widths_flat), n_slot
 
         uploader = ThreadPoolExecutor(max_workers=1)
         warper = ThreadPoolExecutor(max_workers=1)
@@ -1685,10 +1740,15 @@ class TPUPagePipeline:
                     strip_dev = jnp.asarray(strip)
                     offs_dev = jnp.asarray(offs)
                     wid_dev = jnp.asarray(wid)
+                rw = (
+                    self._rebuild_width(rec_payload[2])
+                    if rec_payload is not None else self._rebuild_step()
+                )
                 with stage_timer("pipeline/combined_dispatch"):
                     (packed_m, heights_q, sep_q, labels_dev, lengths_dev,
                      confs_dev, lvals_dev, lidx_dev) = self._combined_strip(
-                        small_dev, strip_dev, offs_dev, wid_dev, page_batch
+                        small_dev, strip_dev, offs_dev, wid_dev, page_batch,
+                        rw,
                     )
             else:
                 if rec_payload is None:
@@ -1696,13 +1756,19 @@ class TPUPagePipeline:
                         (page_batch * self.line_slot, self.crop_height, wb),
                         jnp.uint8,
                     )
+                    wid_dev = jnp.zeros(
+                        (page_batch * self.line_slot,), jnp.int32
+                    )
                 else:
-                    crops_dev = jnp.asarray(rec_payload)
+                    crops_dev = jnp.asarray(rec_payload[0])
+                    wid_dev = jnp.asarray(rec_payload[1])
 
                 with stage_timer("pipeline/combined_dispatch"):
                     (packed_m, heights_q, sep_q, labels_dev, lengths_dev,
                      confs_dev, lvals_dev, lidx_dev) = (
-                        self._combined_crops(small_dev, crops_dev, page_batch)
+                        self._combined_crops(
+                            small_dev, crops_dev, wid_dev, page_batch
+                        )
                     )
 
             # ONE forced-fetch round per dispatch: batch bi's masks and
@@ -1836,6 +1902,7 @@ class TPUPagePipeline:
                          self.crop_bucket),
                         np.uint8,
                     )
+                    widths_flat = np.zeros(page_batch * n_slot, np.int32)
                     widths_all = []
                     for slot, (b_list, h_list, _) in enumerate(page_lines):
                         if b_list:
@@ -1843,6 +1910,9 @@ class TPUPagePipeline:
                                 grays[slot], b_list, h_list, n_slot
                             )
                             widths_all.append(w[: len(b_list)])
+                            widths_flat[
+                                slot * n_slot : slot * n_slot + len(b_list)
+                            ] = w[: len(b_list)]
                         else:
                             widths_all.append(None)
                     flat = crop_stack.reshape(
@@ -1854,7 +1924,7 @@ class TPUPagePipeline:
                             self._pack4(flat) if self.transport_bits == 4
                             else self._pack2(flat, self.dither_2bit)
                         )
-                    payload = (flat,)
+                    payload = (flat, widths_flat)
             geoms = [
                 (b, h, w, c)
                 for (b, h, c), w in zip(page_lines, widths_all)
@@ -1889,6 +1959,7 @@ class TPUPagePipeline:
                     outs = self._stage_b_strip(
                         jnp.asarray(strip), jnp.asarray(offs),
                         jnp.asarray(wid), page_batch,
+                        self._rebuild_width(wid),
                     )
                 inflight.append((ids, geoms) + tuple(outs))
             else:
@@ -1899,11 +1970,12 @@ class TPUPagePipeline:
                         outs = self._combined_strip(
                             small_dev, jnp.asarray(strip),
                             jnp.asarray(offs), jnp.asarray(wid),
-                            page_batch,
+                            page_batch, self._rebuild_width(wid),
                         )
                     else:
                         outs = self._combined_crops(
-                            small_dev, jnp.asarray(payload[0]), page_batch
+                            small_dev, jnp.asarray(payload[0]),
+                            jnp.asarray(payload[1]), page_batch,
                         )
                 # outs[0:3] are stage A's masks — deliberately never
                 # fetched (nobody consumes them on this path).

@@ -360,9 +360,10 @@ class TestStripTransport:
         rec_params = recognizer.init(
             jax.random.PRNGKey(0), jnp.zeros((1, 16, 64, 3), jnp.float32)
         )
+        kw.setdefault("crop_bucket", 256)
         return TPUPagePipeline(
             parsenet, pn_params, recognizer, rec_params,
-            downsample=4, crop_height=16, crop_bucket=256, line_slot=8,
+            downsample=4, crop_height=16, line_slot=8,
             transport="crops", transport_bits=bits, trim_crops=trim, **kw
         )
 
@@ -425,6 +426,41 @@ class TestStripTransport:
         assert len(results) == 3
         for r in results:
             assert r.labels is None
+
+    def test_rebuild_width_ladder(self):
+        """Narrow batches rebuild at a narrower static width (quarters
+        of crop_bucket, floor 256) with output identical to the dense
+        full-bucket path — the ladder only trims the recognizer's
+        all-zero bucket tail."""
+        p = self._make(True)
+        p.crop_bucket = 1024
+        assert p._rebuild_width(np.array([0], np.int32)) == 256
+        assert p._rebuild_width(np.array([100, 255], np.int32)) == 256
+        assert p._rebuild_width(np.array([257], np.int32)) == 512
+        assert p._rebuild_width(np.array([730], np.int32)) == 768
+        assert p._rebuild_width(np.array([1000, 1024], np.int32)) == 1024
+        assert p._rebuild_width(np.array([], np.int32)) == 256
+
+        # One stream whose two batches land on DIFFERENT ladder entries
+        # (short lines then long), strip vs dense equality end to end.
+        def mixed_lines(page):
+            wide = page.shape[1] > 400
+            x1 = page.shape[1] - 40 if wide else 120
+            return (
+                [np.array([[30, 40], [x1, 40]], float)],
+                [[12.0, 4.0]],
+            )
+
+        pages = synthetic_pages(2) + synthetic_pages(2, w=520)
+        kw = dict(lines_override=mixed_lines, page_batch=2)
+        r_strip = list(self._make(True, crop_bucket=512).run(pages, **kw))
+        r_dense = list(self._make(False, crop_bucket=512).run(pages, **kw))
+        for a, b in zip(r_strip, r_dense):
+            # The label axis pads to rw/subsampling frames (narrower for
+            # ladder-trimmed batches); the decoded prefixes must match.
+            np.testing.assert_array_equal(a.label_lengths, b.label_lengths)
+            for la, lb, n in zip(a.labels, b.labels, a.label_lengths):
+                np.testing.assert_array_equal(la[:n], lb[:n])
 
 
 class TestAdaptiveDownsample:
