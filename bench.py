@@ -102,12 +102,24 @@ def best_of(n_trials, fn):
 
 
 def trained_parsenet_variables(parsenet, pages):
-    """Train the bench ParseNet to detect make_page's stripes (800
-    steps on the 1/4-res canvases; ~20s of device time, cached under
-    ~/.cache so repeat bench runs skip it).  This makes honest_cnn a
-    REAL detect -> CC-parse -> cluster -> recognize loop instead of the
-    ideal-mask substitution r2 used (mask fidelity now interacts with
-    the host geometry in the measured loop)."""
+    """Train the bench ParseNet to detect make_page's stripes (two-phase
+    schedule on the 1/4-res AND 1/2-res canvases; ~40s of device time,
+    cached under ~/.cache so repeat bench runs skip it).  This makes
+    honest_cnn a REAL detect -> CC-parse -> cluster -> recognize loop
+    instead of the ideal-mask substitution r2 used (mask fidelity now
+    interacts with the host geometry in the measured loop).
+
+    MULTI-SCALE is load-bearing, not a nicety: the bench lines are
+    26 px ascender = 6.5 map px at ds 4, below the reference's [9, 15]
+    processing band (torch_parsenet.py:28-35), so the honest loop's
+    adaptive downsample correctly re-runs stage A at ds 2 — where a
+    ds-4-only toy detector mispredicts heights (it memorizes "6.5"
+    regardless of scale), steering the sticky correction further down
+    the ladder to ds 1 and off the straight-baseline fast path
+    (measured: honest_cnn 8.1 pages/s with host_warp at 691 ms/batch
+    vs ~30 warm).  Training both scales makes the ds-2 predictions
+    in-band, so adaptation settles exactly like the reference's
+    would."""
     import hashlib
     import os
 
@@ -119,7 +131,7 @@ def trained_parsenet_variables(parsenet, pages):
     from pero_ocr_tpu.utils.checkpoint import load_variables, save_variables
 
     key = hashlib.sha1(
-        f"bench-parsenet-v3-{PAGE_H}x{PAGE_W}-{N_TEXT_ROWS}-s2d".encode()
+        f"bench-parsenet-v5ms-{PAGE_H}x{PAGE_W}-{N_TEXT_ROWS}-s2d".encode()
     ).hexdigest()[:16]
     cache_dir = os.path.expanduser("~/.cache/pero_test_ckpt")
     cache_path = os.path.join(cache_dir, f"bench_pn_{key}.ckpt")
@@ -133,29 +145,44 @@ def trained_parsenet_variables(parsenet, pages):
         except Exception:
             pass
 
-    ds = 4
-    images, targets = [], []
-    for page in pages:
-        gray = cv2.cvtColor(page, cv2.COLOR_BGR2GRAY)
-        small = cv2.resize(gray, (0, 0), fx=1 / ds, fy=1 / ds,
-                           interpolation=cv2.INTER_AREA)
-        tgt = np.zeros(small.shape + (5,), np.float32)
-        bl, hh = page_lines(page)
-        for b, (asc, desc) in zip(bl, hh):
-            y = int(b[0][1]) // ds
-            x0, x1 = int(b[0][0]) // ds, int(b[1][0]) // ds
-            tgt[y, x0:x1, 2] = 1.0
-            y0 = max(y - int(asc // ds), 0)
-            tgt[y0 : y + 1, x0:x1, 0] = asc / ds
-            tgt[y0 : y + 1, x0:x1, 1] = desc / ds
-            tgt[y, x0, 3] = 1.0
-            tgt[y, x1 - 1, 3] = 1.0
-        images.append(
-            np.repeat(small[:, :, None], 3, 2).astype(np.float32) / 255.0
-        )
-        targets.append(tgt)
-    x = jnp.asarray(np.stack(images))
-    t = jnp.asarray(np.stack(targets))
+    def scale_batch(ds):
+        images, targets = [], []
+        for page in pages:
+            gray = cv2.cvtColor(page, cv2.COLOR_BGR2GRAY)
+            small = cv2.resize(gray, (0, 0), fx=1 / ds, fy=1 / ds,
+                               interpolation=cv2.INTER_AREA)
+            tgt = np.zeros(small.shape + (5,), np.float32)
+            bl, hh = page_lines(page)
+            for b, (asc, desc) in zip(bl, hh):
+                y = int(b[0][1]) // ds
+                x0, x1 = int(b[0][0]) // ds, int(b[1][0]) // ds
+                tgt[y, x0:x1, 2] = 1.0
+                y0 = max(y - int(asc // ds), 0)
+                tgt[y0 : y + 1, x0:x1, 0] = asc / ds
+                tgt[y0 : y + 1, x0:x1, 1] = desc / ds
+                tgt[y, x0, 3] = 1.0
+                tgt[y, x1 - 1, 3] = 1.0
+            # Pad to 64-multiples like the pipeline's _canvas (the s2d
+            # stem and U-Net pooling need the round shape; ds 3 canvases
+            # are odd-sized otherwise).
+            h64 = int(np.ceil(small.shape[0] / 64) * 64)
+            w64 = int(np.ceil(small.shape[1] / 64) * 64)
+            canvas = np.zeros((h64, w64), np.uint8)
+            canvas[: small.shape[0], : small.shape[1]] = small
+            tgt_pad = np.zeros((h64, w64, 5), np.float32)
+            tgt_pad[: tgt.shape[0], : tgt.shape[1]] = tgt
+            images.append(
+                np.repeat(canvas[:, :, None], 3, 2).astype(np.float32) / 255.0
+            )
+            targets.append(tgt_pad)
+        return jnp.asarray(np.stack(images)), jnp.asarray(np.stack(targets))
+
+    # Every ladder stop the adaptation can visit from ds 4 on these
+    # pages: 4 (the default), 2 (the in-band target), 3 (one ladder
+    # step of height-estimate slack) — so a ±25% height-read bias at
+    # one scale can't strand the sticky correction at a scale the
+    # detector has never seen.
+    scales = [scale_batch(ds) for ds in (4, 2, 3)]
     optimizer = train_lib.make_optimizer(5e-3)
     state = train_lib.TrainState(
         template, optimizer.init(template), jnp.zeros((), jnp.int32)
@@ -164,14 +191,16 @@ def trained_parsenet_variables(parsenet, pages):
     # height weights from scratch smother the detection channels), then
     # height-pinning incl. off-mask (the postproc dilates + max-pools
     # the height maps, so off-mask garbage otherwise leaks into the
-    # measured line heights).  Result: 40/40 lines, median asc within
-    # 1% of target.
-    for steps, hw, ow in ((800, 0.01, 0.0), (600, 0.3, 0.05)):
+    # measured line heights).  Scales alternate within each phase (one
+    # compiled step per canvas shape).  Result: 40/40 lines at both
+    # scales, median asc within ~1% of target at each.
+    for steps, hw, ow in ((900, 0.01, 0.0), (900, 0.3, 0.05)):
         step = jax.jit(train_lib.make_parsenet_train_step(
             parsenet, optimizer, height_weight=hw,
             off_mask_height_weight=ow,
         ))
-        for _ in range(steps):
+        for i in range(steps):
+            x, t = scales[i % len(scales)]
             state, loss = step(state, x, t)
     loss = float(loss)
     print(f"# honest_cnn detector trained: loss={loss:.4f}", file=sys.stderr)
@@ -222,8 +251,9 @@ def timed_run(pages, pipeline, lines_override, page_batch=PAGE_BATCH):
     return time.perf_counter() - t0
 
 
-def warm(pages, pipeline, lines_override, page_batch=PAGE_BATCH):
-    run_warm = [pages[i % len(pages)] for i in range(WARMUP_PAGES)]
+def warm(pages, pipeline, lines_override, page_batch=PAGE_BATCH,
+         n_pages=WARMUP_PAGES):
+    run_warm = [pages[i % len(pages)] for i in range(n_pages)]
     list(pipeline.run(run_warm, lines_override=lines_override,
                       page_batch=page_batch))
 
@@ -394,7 +424,12 @@ def main():
             honest_pipeline = build_pipeline(
                 TPUPagePipeline, pn_variables=pn_vars
             )
-            warm(pages, honest_pipeline, None, HONEST_PAGE_BATCH)
+            # 3 batches: batch 0 runs ds4 + the adaptive second pass,
+            # batch 1 compiles the combined program at the sticky ds2
+            # canvas shape — a 1-batch warmup would leave that compile
+            # inside the first timed trial.
+            warm(pages, honest_pipeline, None, HONEST_PAGE_BATCH,
+                 n_pages=3 * HONEST_PAGE_BATCH)
 
         # The tunnel's throughput swings ~3x over minutes.  Interleave
         # the headline and honest-CNN trials over a WIDE best-of window
