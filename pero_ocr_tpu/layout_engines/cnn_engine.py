@@ -47,7 +47,7 @@ logger = logging.getLogger(__name__)
 
 @functools.partial(
     jax.jit,
-    static_argnames=("smooth", "vertical_connection_range"),
+    static_argnames=("smooth", "vertical_connection_range", "connected"),
 )
 def _postprocess_maps(
     out_map: jnp.ndarray,
@@ -55,10 +55,15 @@ def _postprocess_maps(
     line_end_weight: float,
     smooth: bool = True,
     vertical_connection_range: int = 5,
+    connected: bool = True,
 ):
     """Fused map post-processing (reference: cnn_layout_engine.py:137-153).
 
-    Returns (baselines_mask, connected_mask, heights_map, separator_map)."""
+    Returns (baselines_mask, connected_mask, heights_map, separator_map).
+    ``connected=False`` skips the connection dilation and returns None in
+    its slot — the crop-transport pipeline ships only the 1-bit baseline
+    mask and replays the exact (range, 3) max filter on host
+    (cv2.dilate), halving the mask download."""
     heights_map = morphology.grey_dilation(
         out_map[:, :, 0], 5, 1
     ), morphology.grey_dilation(out_map[:, :, 1], 5, 1)
@@ -73,7 +78,7 @@ def _postprocess_maps(
     ) > detection_threshold
 
     # Vertical connection dilation: (range, 3) rectangular structure.
-    connected = (
+    connected_mask = (
         jax.lax.reduce_window(
             baselines_mask.astype(jnp.float32),
             0.0,
@@ -83,9 +88,9 @@ def _postprocess_maps(
             "SAME",
         )
         > 0
-    )
+    ) if connected else None
     separator = jnp.maximum(out_map[:, :, 4], 0.0)
-    return baselines_mask, connected, heights_map, separator
+    return baselines_mask, connected_mask, heights_map, separator
 
 
 class LayoutEngine:

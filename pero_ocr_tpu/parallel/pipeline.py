@@ -245,54 +245,62 @@ class TPUPagePipeline:
             """small: (PB, h64, w64, 1) float gray in [0, 255] at 1/ds
             resolution -> packed masks + quantized heights + separator.
 
-            Downloads are minimized: masks bit-pack 4 px/byte, heights
-            quantize to quarter-res uint8 quarter-pixels, the separator
-            map travels half-res 4-bit — ~0.13MB per page instead of the
-            5.7MB raw float maps."""
+            Downloads are minimized: the baseline mask bit-packs 8 px
+            per byte (the `connected` dilation is NOT shipped — the
+            host replays the exact (5,3) max filter with cv2.dilate,
+            see _unpack_stage_a), heights quantize to uint8
+            quarter-pixels, the separator travels 4-bit 2 px/byte.
+
+            Heights/separator pooling doubles on large canvases (the
+            adaptive downsample's ds<=2 second-pass shapes): the maps'
+            FULL-RES granularity stays what the default ds-4 shape
+            ships (16 px heights, 8 px separator), so the per-page
+            download budget is ~flat across the ladder instead of
+            growing 4x at ds 2 (the honest loop's steady state on
+            bench pages is wire-bound there)."""
             images = jnp.broadcast_to(
                 small / 255.0, small.shape[:3] + (3,)
             )
             maps = pn_apply(parsenet_variables, images)
 
             def post(m):
-                return _postprocess_maps(m, detection_threshold, line_end_weight)
+                return _postprocess_maps(
+                    m, detection_threshold, line_end_weight,
+                    connected=False,
+                )
 
-            baselines_mask, connected, heights_map, separator = (
+            baselines_mask, _, heights_map, separator = (
                 jax.vmap(post)(maps)
             )
-            two_bit = (
-                baselines_mask.astype(jnp.uint8)
-                + 2 * connected.astype(jnp.uint8)
+            pb_, hh_, ww_ = baselines_mask.shape
+            bits = baselines_mask.astype(jnp.uint8).reshape(
+                pb_, hh_, ww_ // 8, 8
             )
-            # Bit-pack 4 pixels per byte (2 bits each): W must be %4.
-            pb_, hh_, ww_ = two_bit.shape
-            packed = two_bit.reshape(pb_, hh_, ww_ // 4, 4)
             packed = (
-                packed[..., 0]
-                + (packed[..., 1] << 2)
-                + (packed[..., 2] << 4)
-                + (packed[..., 3] << 6)
+                bits[..., 0]
+                | (bits[..., 1] << 1)
+                | (bits[..., 2] << 2)
+                | (bits[..., 3] << 3)
+                | (bits[..., 4] << 4)
+                | (bits[..., 5] << 5)
+                | (bits[..., 6] << 6)
+                | (bits[..., 7] << 7)
             )
-            # Heights at quarter resolution (the maps are smooth),
-            # quarter-px quantized uint8 — 143KB per 4-page batch on the
-            # link instead of 573KB at half-res (the heights download was
-            # the largest stage-A artifact).
-            heights_q4 = jax.lax.reduce_window(
-                heights_map, 0.0, jax.lax.max, (1, 4, 4, 1), (1, 4, 4, 1),
-                "VALID",
+            hf = 8 if hh_ > 640 else 4
+            sf = hf // 2
+            heights_qp = jax.lax.reduce_window(
+                heights_map, 0.0, jax.lax.max, (1, hf, hf, 1),
+                (1, hf, hf, 1), "VALID",
             )
             heights_q = jnp.clip(
-                jnp.round(heights_q4 * 4.0), 0, 255
+                jnp.round(heights_qp * 4.0), 0, 255
             ).astype(jnp.uint8)
-            # Separator map for paragraph clustering: half-res, 4-bit
-            # quantized, 2 px/byte (~143KB per 4-page batch) — the host
-            # worker thread runs the reference's separator-penalty
-            # clustering on it, fully overlapped with the link.
-            sep_half = jax.lax.reduce_window(
-                separator, 0.0, jax.lax.max, (1, 2, 2), (1, 2, 2), "VALID"
+            sep_pool = jax.lax.reduce_window(
+                separator, 0.0, jax.lax.max, (1, sf, sf), (1, sf, sf),
+                "VALID",
             )
             sep_nib = jnp.clip(
-                jnp.round(sep_half * 15.0), 0, 15
+                jnp.round(sep_pool * 15.0), 0, 15
             ).astype(jnp.uint8)
             sep_q = (sep_nib[:, :, 0::2] << 4) | sep_nib[:, :, 1::2]
             return packed, heights_q, sep_q
@@ -1348,24 +1356,41 @@ class TPUPagePipeline:
             best = dt if best is None else min(best, dt)
         return page_batch / best
 
+    # Must match _postprocess_maps' vertical_connection_range (the
+    # device no longer ships the dilated mask; see maps_and_pack).
+    VERTICAL_CONNECTION_RANGE = 5
+
     def _unpack_stage_a(self, packed, heights_q, sep_q):
-        """Host side of the stage-A artifact transport: 4x 2-bit pixels
-        per byte -> masks; quarter-res heights upsampled 4x back;
-        half-res 4-bit separator map back to float at map resolution."""
-        two_bit = np.stack(
-            [(packed >> (2 * i)) & 3 for i in range(4)], axis=-1
-        ).reshape(packed.shape[0], packed.shape[1], packed.shape[2] * 4)
-        baselines_masks = two_bit & 1
-        connecteds = (two_bit >> 1) & 1
+        """Host side of the stage-A artifact transport: 8x 1-bit
+        baseline pixels per byte -> mask, with the `connected` (5,3)
+        dilation replayed here via cv2.dilate (byte-exact vs the
+        device reduce_window it replaces — both are max filters with
+        zero borders); pooled heights/separator upsampled back to map
+        resolution (pool factors inferred from the shape ratio — large
+        canvases ship coarser pools, maps_and_pack)."""
+        import cv2
+
+        bits = np.stack(
+            [(packed >> i) & 1 for i in range(8)], axis=-1
+        ).reshape(packed.shape[0], packed.shape[1], packed.shape[2] * 8)
+        baselines_masks = bits
+        kernel = np.ones(
+            (self.VERTICAL_CONNECTION_RANGE, 3), np.uint8
+        )
+        connecteds = np.stack(
+            [cv2.dilate(m, kernel) for m in baselines_masks]
+        )
+        hf = packed.shape[1] // heights_q.shape[1]
         heights_maps = (
             heights_q.astype(np.float32) / 4.0
-        ).repeat(4, axis=1).repeat(4, axis=2)
+        ).repeat(hf, axis=1).repeat(hf, axis=2)
+        sf = packed.shape[1] // sep_q.shape[1]
         sep_nib = np.stack(
             [sep_q >> 4, sep_q & 0xF], axis=-1
         ).reshape(sep_q.shape[0], sep_q.shape[1], sep_q.shape[2] * 2)
         sep_maps = (
             sep_nib.astype(np.float32) / 15.0
-        ).repeat(2, axis=1).repeat(2, axis=2)
+        ).repeat(sf, axis=1).repeat(sf, axis=2)
         return baselines_masks, connecteds, heights_maps, sep_maps
 
     def _batch_lines(self, pages, ids, lines_override, masks, ds=None):

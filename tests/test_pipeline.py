@@ -754,6 +754,83 @@ class TestPack2:
         assert err.max() <= 43, err.max()
 
 
+class TestStageATransport:
+    """The stage-A download diet must be information-preserving where
+    the host geometry needs exactness: 1-bit mask round trip, the
+    host-replayed (5,3) `connected` dilation byte-equal to the device
+    reduce_window it replaced, heights/separator within quantization
+    tolerance — at BOTH pool ladders (small canvas 4/2, large canvas
+    8/4)."""
+
+    @pytest.mark.parametrize("h,w", [(256, 384), (704, 384)])
+    def test_unpack_matches_device_postprocess(self, pipeline, h, w):
+        from pero_ocr_tpu.layout_engines.cnn_engine import _postprocess_maps
+
+        pages = synthetic_pages(2, h=h, w=w)
+        grays = np.stack([pipeline._gray(p) for p in pages])
+        small = np.stack([pipeline._canvas(g, 2) for g in grays])
+
+        packed, heights_q, sep_q = jax.tree_util.tree_map(
+            np.asarray, pipeline._stage_a_small(jnp.asarray(small))
+        )
+        bl, conn, heights, sep = pipeline._unpack_stage_a(
+            packed, heights_q, sep_q
+        )
+
+        # Same deterministic init as the module fixture's ParseNet.
+        parsenet = ParseNet(base_features=4, depth=2)
+        pn_params = parsenet.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
+        )
+        images = jnp.broadcast_to(
+            (jnp.asarray(small).astype(jnp.float32) / 255.0)[..., None],
+            small.shape + (3,),
+        )
+        maps = parsenet.apply(pn_params, images)
+        ref = [
+            _postprocess_maps(
+                m, pipeline.detection_threshold, pipeline.line_end_weight
+            )
+            for m in maps
+        ]
+        ref_bl = np.stack([np.asarray(r[0]) for r in ref])
+        ref_conn = np.stack([np.asarray(r[1]) for r in ref])
+        ref_heights = np.stack([np.asarray(r[2]) for r in ref])
+        ref_sep = np.stack([np.asarray(r[3]) for r in ref])
+
+        np.testing.assert_array_equal(bl, ref_bl.astype(bl.dtype))
+        np.testing.assert_array_equal(conn, ref_conn.astype(conn.dtype))
+        hf = packed.shape[1] // heights_q.shape[1]
+        # Pooled heights dominate the window max within quantization.
+        pooled = ref_heights.reshape(
+            ref_heights.shape[0], ref_heights.shape[1] // hf, hf,
+            ref_heights.shape[2] // hf, hf, 2,
+        ).max(axis=(2, 4))
+        got = heights[:, ::hf, ::hf]
+        assert np.abs(got - np.clip(pooled, 0, 63.75)).max() <= 0.125 + 1e-5
+        sf = packed.shape[1] // sep_q.shape[1]
+        pooled_sep = ref_sep.reshape(
+            ref_sep.shape[0], ref_sep.shape[1] // sf, sf,
+            ref_sep.shape[2] // sf, sf,
+        ).max(axis=(2, 4))
+        got_sep = sep[:, ::sf, ::sf]
+        # Half a 4-bit step, plus float32 slack at exact midpoints
+        # (round-half-even at 7.5/15 lands a hair past the ideal bound).
+        assert np.abs(
+            got_sep - np.clip(pooled_sep, 0, 1.0)
+        ).max() <= 0.5 / 15.0 + 1e-4
+
+    def test_pool_factor_scales_with_canvas(self, pipeline):
+        """Large (ds<=2 second-pass) canvases ship heights/sep at double
+        the pool factor, keeping the download budget ~flat."""
+        small = np.zeros((1, 640, 384), np.uint8)
+        big = np.zeros((1, 704, 384), np.uint8)
+        _, hq_s, sq_s = pipeline._stage_a_small(jnp.asarray(small))
+        _, hq_b, sq_b = pipeline._stage_a_small(jnp.asarray(big))
+        assert 640 // hq_s.shape[1] == 4 and 640 // sq_s.shape[1] == 2
+        assert 704 // hq_b.shape[1] == 8 and 704 // sq_b.shape[1] == 4
+
+
 class TestTransformerRecognizer:
     """The device pipeline is not CTC-only: a native transformer OCR
     model runs its greedy AR decode (one lax.scan, KV-cached) inside
