@@ -409,6 +409,15 @@ def main():
         pipeline = build_pipeline(TPUPagePipeline, args.transport_bits)
         warm(pages, pipeline, page_lines)
 
+        # Print-mode sibling: 2-bit plain-rounded crop packing (CER
+        # gate: tests/test_end_to_end_training.py's trained-model
+        # 8/4/2-bit transcription-equality legs).  Interleaved with the
+        # headline so both sample the same link weather.
+        print_pipeline = None
+        if args.transport_bits == 4 and not args.skip_extras:
+            print_pipeline = build_pipeline(TPUPagePipeline, 2)
+            warm(pages, print_pipeline, page_lines)
+
         honest_pipeline = None
         if not args.skip_extras:
             # honest_cnn runs a REAL trained detector end to end
@@ -435,9 +444,13 @@ def main():
         # the headline and honest-CNN trials over a WIDE best-of window
         # (VERDICT r2: best-of-5 on one config was too narrow to ride
         # out the weather), so both configs sample the same conditions.
-        head_times, honest_times = [], []
+        head_times, honest_times, print_times = [], [], []
         for _ in range(5 if args.skip_extras else 8):
             head_times.append(timed_run(pages, pipeline, page_lines))
+            if print_pipeline is not None:
+                print_times.append(
+                    timed_run(pages, print_pipeline, page_lines)
+                )
             if honest_pipeline is not None:
                 honest_times.append(
                     timed_run(pages, honest_pipeline, None,
@@ -467,7 +480,11 @@ def main():
             file=sys.stderr,
         )
 
-        honest = beam = beam_legacy = alto = latency = None
+        honest = beam = beam_legacy = alto = latency = print_pps = None
+        if print_times:
+            print_pps = BENCH_PAGES / min(print_times)
+            print(f"# print mode (2-bit): {print_pps:.2f} pages/s",
+                  file=sys.stderr)
         if not args.skip_extras:
             honest = BENCH_PAGES / min(honest_times)
             print(f"# honest_cnn: {honest:.2f} pages/s", file=sys.stderr)
@@ -495,6 +512,8 @@ def main():
         "device_ms_per_page": round(device_ms / PAGE_BATCH, 2),
         "transport_floor_pages_per_sec": round(floor, 2),
     }
+    if print_pps is not None:
+        out["print_mode_2bit_pages_per_sec"] = round(print_pps, 3)
     if honest is not None:
         out["honest_cnn_pages_per_sec"] = round(honest, 3)
     if beam is not None:
