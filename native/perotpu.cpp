@@ -567,4 +567,168 @@ int32_t viterbi_ctc_f32(const float* neg_logprobs_states, int32_t t,
     return 0;
 }
 
+// ---------------------------------------------------------------------
+// Fused packed-mask -> component baselines (the honest CNN path's host
+// hot loop at ds 2, where unpack + cv2.dilate + scipy.label cost
+// ~150 ms per 8-page batch on the 1-core host).
+//
+// Input is the stage-A transport's 1-bit baseline mask (8 px/byte, bit
+// k = pixel x = byte*8 + k) and the pooled heights_q (hqh, hqw, 2)
+// uint8 quarter-pixels with pool factor hf.  Replicates EXACTLY the
+// python path (pipeline._unpack_stage_a + ops.morphology +
+// pipeline._lines_from_masks; reference: cnn_layout_engine.py:137-190):
+//
+//   connected = dilate(mask, ones(5,3)); label(connected, ones(3,3));
+//   labels *= mask; per component with >5 px: unique-x first-y points,
+//   linspace to clamp(n/10, 2, 10) pts, endpoints x -+= 2, heights =
+//   per-channel median of the pooled map sampled at component pixels.
+//
+// The (5,3) dilation + 8-connected labeling collapses to a direct rule
+// on baseline pixels: p ~ q iff |dy| <= 5 and |dx| <= 3 (their dilated
+// rects touch 8-connectedly), so the labeling is a sparse union-find
+// over set bits only -- no dilated image is ever materialized.
+// Component order matches scipy's raster numbering (first baseline
+// pixel in raster order; the constant (-2,-1) shift to the first
+// DILATED pixel preserves comparisons except for components starting
+// within 2 px of the top border, where scipy's clamped rows can tie).
+//
+// Also emits the adaptation statistics the caller otherwise needed the
+// unpacked mask for (torch_parsenet.py:60-93 semantics): total set-bit
+// count and a 256-bin histogram of the channel-0 heights_q value under
+// every set bit (batch-exact median of q/4 = median over the upsampled
+// float map, which is constant within each hf x hf cell).
+//
+// out_pts: (max_comps, max_pts, 2); out_npts/out_heights: per emitted
+// component; returns the number of components emitted (valid only,
+// in component order), or -1 if max_comps would overflow.
+// ---------------------------------------------------------------------
+int32_t cc_lines_packed(
+    const uint8_t* packed, int32_t h, int32_t wb,
+    const uint8_t* hq, int32_t hqw, int32_t hf,
+    int32_t max_comps, int32_t max_pts,
+    double* out_pts, int32_t* out_npts, double* out_heights,
+    int64_t* out_npx, int64_t* hist0) {
+    struct Px { int32_t x, y; };
+    std::vector<Px> px;
+    px.reserve(4096);
+    std::vector<int32_t> row_start(h + 1, 0);
+    for (int32_t y = 0; y < h; ++y) {
+        row_start[y] = (int32_t)px.size();
+        const uint8_t* row = packed + (size_t)y * wb;
+        const int32_t yq = y / hf;
+        for (int32_t b = 0; b < wb; ++b) {
+            uint8_t v = row[b];
+            while (v) {
+                const int32_t k = __builtin_ctz(v);
+                v = (uint8_t)(v & (v - 1));
+                const int32_t x = b * 8 + k;
+                px.push_back({x, y});
+                ++hist0[hq[((size_t)yq * hqw + x / hf) * 2]];
+            }
+        }
+    }
+    row_start[h] = (int32_t)px.size();
+    const int32_t n = (int32_t)px.size();
+    *out_npx = n;
+    if (n == 0) return 0;
+
+    std::vector<int32_t> parent(n);
+    for (int32_t i = 0; i < n; ++i) parent[i] = i;
+    // Pixels are raster-ordered: same-row links need only the previous
+    // pixel (sorted x, transitive); cross-row links sweep rows y-5..y-1
+    // with a monotone cursor per row pair.
+    for (int32_t y = 0; y < h; ++y) {
+        const int32_t lo = row_start[y], hi = row_start[y + 1];
+        if (lo == hi) continue;
+        for (int32_t i = lo + 1; i < hi; ++i) {
+            if (px[i].x - px[i - 1].x <= 3) uf_union(parent, i, i - 1);
+        }
+        for (int32_t yp = std::max(0, y - 5); yp < y; ++yp) {
+            int32_t j = row_start[yp];
+            const int32_t jhi = row_start[yp + 1];
+            if (j == jhi) continue;
+            for (int32_t i = lo; i < hi; ++i) {
+                const int32_t x = px[i].x;
+                while (j < jhi && px[j].x < x - 3) ++j;
+                for (int32_t jj = j; jj < jhi && px[jj].x <= x + 3; ++jj) {
+                    uf_union(parent, i, jj);
+                }
+            }
+        }
+    }
+
+    // Component numbering by first (raster-order) pixel: uf_union is
+    // union-by-min, so each root is its component's minimal pixel
+    // index and first-encounter order IS raster order.
+    std::vector<int32_t> comp_of(n);
+    std::vector<int32_t> comp_id_of_root(n, -1);
+    int32_t n_comp = 0;
+    for (int32_t i = 0; i < n; ++i) {
+        const int32_t r = uf_find(parent, i);
+        if (comp_id_of_root[r] < 0) comp_id_of_root[r] = n_comp++;
+        comp_of[i] = comp_id_of_root[r];
+    }
+
+    // Gather per-component pixel lists (raster order preserved).
+    std::vector<int32_t> comp_count(n_comp, 0);
+    for (int32_t i = 0; i < n; ++i) ++comp_count[comp_of[i]];
+    std::vector<int32_t> comp_off(n_comp + 1, 0);
+    for (int32_t c = 0; c < n_comp; ++c)
+        comp_off[c + 1] = comp_off[c] + comp_count[c];
+    std::vector<int32_t> comp_px(n);
+    {
+        std::vector<int32_t> cur(comp_off.begin(), comp_off.end() - 1);
+        for (int32_t i = 0; i < n; ++i) comp_px[cur[comp_of[i]]++] = i;
+    }
+
+    int32_t emitted = 0;
+    std::vector<int32_t> first_y;
+    std::vector<int32_t> touched;
+    std::vector<float> h0, h1;
+    const int32_t w = wb * 8;
+    first_y.assign(w, -1);
+    for (int32_t c = 0; c < n_comp; ++c) {
+        const int32_t lo = comp_off[c], hi = comp_off[c + 1];
+        if (hi - lo <= 5) continue;
+        if (emitted >= max_comps) return -1;
+        touched.clear();
+        h0.clear();
+        h1.clear();
+        for (int32_t t = lo; t < hi; ++t) {
+            const Px& p = px[comp_px[t]];
+            if (first_y[p.x] < 0) {
+                first_y[p.x] = p.y;
+                touched.push_back(p.x);
+            }
+            const uint8_t* cell =
+                hq + ((size_t)(p.y / hf) * hqw + p.x / hf) * 2;
+            h0.push_back(cell[0] * 0.25f);
+            h1.push_back(cell[1] * 0.25f);
+        }
+        std::sort(touched.begin(), touched.end());
+        const int64_t n_unique = (int64_t)touched.size();
+        int32_t target = (int32_t)std::min<int64_t>(10, n_unique / 10);
+        target = std::max(target, 2);
+        target = std::min<int32_t>(target, max_pts);
+        const double delta =
+            (double)(n_unique - 1) / (double)(target - 1);
+        double* pts = out_pts + (size_t)emitted * max_pts * 2;
+        for (int32_t k = 0; k < target; ++k) {
+            int64_t idx =
+                (k == target - 1) ? n_unique - 1 : (int64_t)(delta * k);
+            if (idx > n_unique - 1) idx = n_unique - 1;
+            pts[2 * k] = (double)touched[idx];
+            pts[2 * k + 1] = (double)first_y[touched[idx]];
+        }
+        pts[0] -= 2.0;
+        pts[2 * (target - 1)] += 2.0;
+        out_npts[emitted] = target;
+        out_heights[2 * emitted] = median_of(h0);
+        out_heights[2 * emitted + 1] = median_of(h1);
+        for (int32_t x : touched) first_y[x] = -1;
+        ++emitted;
+    }
+    return emitted;
+}
+
 }  // extern "C"

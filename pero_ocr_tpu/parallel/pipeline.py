@@ -767,6 +767,8 @@ class TPUPagePipeline:
         """Corrected sticky downsample for a batch, or None to keep the
         current scale.  Median is over the whole batch (the reference
         adapts per page; pages within a batch share a dispatch here)."""
+        if isinstance(masks, TPUPagePipeline._StageAArtifacts):
+            masks = masks.unpacked
         baselines_masks, _, heights_maps, _ = masks
         sel = baselines_masks > 0
         if sel.sum() <= self.ADAPT_PIXEL_THRESHOLD:
@@ -774,6 +776,9 @@ class TPUPagePipeline:
         # heights_maps hold FULL-map-resolution ascender heights in map
         # pixels (channel 0), like the reference's out_map[:, :, 0].
         med = float(np.median(heights_maps[sel][:, 0]))
+        return self._adapt_decide(med, ds_used)
+
+    def _adapt_decide(self, med: float, ds_used: int) -> Optional[int]:
         if self.ADAPT_MIN_H <= med <= self.ADAPT_MAX_H:
             return None
         target = ds_used * med / self.ADAPT_OPT_H
@@ -1360,6 +1365,110 @@ class TPUPagePipeline:
     # device no longer ships the dilated mask; see maps_and_pack).
     VERTICAL_CONNECTION_RANGE = 5
 
+    class _StageAArtifacts:
+        """Lazy view over one batch's fetched stage-A transport
+        (packed 1-bit masks + pooled heights/sep).  The native CC path
+        consumes the PACKED arrays directly (cc_lines_packed: ~1.2 ms
+        per ds-2 page vs ~18 for unpack + cv2.dilate + scipy.label +
+        extraction); full unpacking happens only on the fallback."""
+
+        __slots__ = ("packed", "heights_q", "sep_q", "_pipe",
+                     "_unpacked", "_sep_maps")
+
+        def __init__(self, packed, heights_q, sep_q, pipe):
+            self.packed = packed
+            self.heights_q = heights_q
+            self.sep_q = sep_q
+            self._pipe = pipe
+            self._unpacked = None
+            self._sep_maps = None
+
+        @property
+        def unpacked(self):
+            if self._unpacked is None:
+                self._unpacked = self._pipe._unpack_stage_a(
+                    self.packed, self.heights_q, self.sep_q
+                )
+            return self._unpacked
+
+        @property
+        def sep_maps(self):
+            if self._unpacked is not None:
+                return self._unpacked[3]
+            if self._sep_maps is None:
+                self._sep_maps = self._pipe._unpack_sep(
+                    self.sep_q, self.packed.shape[1]
+                )
+            return self._sep_maps
+
+    def _lines_from_packed(self, packed_page, heights_q_page, ds):
+        """Native fast path of :meth:`_lines_from_masks` operating on
+        the PACKED transport of one page.  Returns (b_list, h_list,
+        n_px, hist0) or None when the native kernel is unavailable."""
+        from pero_ocr_tpu.utils import native as native_lib
+
+        ds = self.downsample if ds is None else ds
+        out = native_lib.native_cc_lines_packed(
+            packed_page, heights_q_page,
+            packed_page.shape[0] // heights_q_page.shape[0],
+        )
+        if out is None:
+            return None
+        pts, npts, hts, n, n_px, hist0 = out
+        b_list, h_list = [], []
+        for c in range(n):
+            b_list.append(ds * pts[c, : npts[c]].copy())
+            h_list.append([ds * float(hts[c, 0]), ds * float(hts[c, 1])])
+        return b_list, h_list, n_px, hist0
+
+    def _adapt_artifacts(self, arts, ds_used: int) -> Optional[int]:
+        """Adaptation decision straight from the packed transport: the
+        native kernel's per-page histograms aggregate to the exact
+        batch median :meth:`_adapt_target_ds` computes from the
+        unpacked maps.  Falls back to unpacking when native is out."""
+        from pero_ocr_tpu.utils import native as native_lib
+
+        total = 0
+        hist = np.zeros(256, np.int64)
+        for slot in range(arts.packed.shape[0]):
+            out = native_lib.native_cc_lines_packed(
+                arts.packed[slot], arts.heights_q[slot],
+                arts.packed.shape[1] // arts.heights_q.shape[1],
+            )
+            if out is None:
+                return self._adapt_target_ds(arts.unpacked, ds_used)
+            total += out[4]
+            hist += out[5]
+        return self._adapt_from_stats(total, hist, ds_used)
+
+    def _adapt_from_stats(self, total_px: int, hist0, ds_used: int):
+        """The :meth:`_adapt_target_ds` band decision from the native
+        kernel's batch-aggregated statistics: exact numpy-median of the
+        channel-0 height map over set bits (values are q/4, constant
+        within each pool cell, so the histogram of q is lossless)."""
+        if total_px <= self.ADAPT_PIXEL_THRESHOLD:
+            return None
+        cum = np.cumsum(hist0)
+        n = int(cum[-1])
+        mid_hi = int(np.searchsorted(cum, n // 2 + 1))
+        if n % 2 == 1:
+            med_q = float(mid_hi)
+        else:
+            mid_lo = int(np.searchsorted(cum, n // 2))
+            med_q = 0.5 * (mid_lo + mid_hi)
+        return self._adapt_decide(med_q / 4.0, ds_used)
+
+    def _unpack_sep(self, sep_q, map_h: int):
+        """Separator maps only (the native CC path never unpacks the
+        masks; clustering still wants the sep map at map resolution)."""
+        sf = map_h // sep_q.shape[1]
+        sep_nib = np.stack(
+            [sep_q >> 4, sep_q & 0xF], axis=-1
+        ).reshape(sep_q.shape[0], sep_q.shape[1], sep_q.shape[2] * 2)
+        return (
+            sep_nib.astype(np.float32) / 15.0
+        ).repeat(sf, axis=1).repeat(sf, axis=2)
+
     def _unpack_stage_a(self, packed, heights_q, sep_q):
         """Host side of the stage-A artifact transport: 8x 1-bit
         baseline pixels per byte -> mask, with the `connected` (5,3)
@@ -1402,9 +1511,17 @@ class TPUPagePipeline:
         (b_list, h_list, clusters): paragraph ids from the reference's
         separator-penalty clustering over the transported separator map
         (None when clustering is off)."""
-        baselines_masks, connecteds, heights_maps, sep_maps = (
-            masks if masks is not None else (None, None, None, None)
+        arts = (
+            masks if isinstance(masks, TPUPagePipeline._StageAArtifacts)
+            else None
         )
+        if arts is not None:
+            baselines_masks = connecteds = heights_maps = None
+            sep_maps = arts.sep_maps if self.cluster_paragraphs else None
+        else:
+            baselines_masks, connecteds, heights_maps, sep_maps = (
+                masks if masks is not None else (None, None, None, None)
+            )
         page_lines = []
         for slot, i in enumerate(ids):
             if lines_override is not None:
@@ -1413,6 +1530,23 @@ class TPUPagePipeline:
                     b_list, h_list = by_index[i]
                 else:
                     b_list, h_list = lines_override(pages[i])
+            elif arts is not None:
+                got = self._lines_from_packed(
+                    arts.packed[slot], arts.heights_q[slot], ds
+                )
+                if got is None:
+                    # Native kernel unavailable: fall back to the
+                    # unpacked python path for the rest of the batch.
+                    baselines_masks, connecteds, heights_maps, sep_maps = (
+                        arts.unpacked
+                    )
+                    arts = None
+                    b_list, h_list = self._lines_from_masks(
+                        baselines_masks[slot], connecteds[slot],
+                        heights_maps[slot], ds,
+                    )
+                else:
+                    b_list, h_list = got[0], got[1]
             else:
                 b_list, h_list = self._lines_from_masks(
                     baselines_masks[slot], connecteds[slot],
@@ -1426,7 +1560,10 @@ class TPUPagePipeline:
             # that carry no separator clustering (and on a 1-core host
             # every worker millisecond competes with the main thread).
             clusters = (
-                self._cluster_lines(b_list, h_list, sep_maps[slot], ds)
+                self._cluster_lines(
+                    b_list, h_list,
+                    sep_maps[slot] if sep_maps is not None else None, ds,
+                )
                 if lines_override is None else None
             )
             page_lines.append((b_list, h_list, clusters))
@@ -1821,11 +1958,14 @@ class TPUPagePipeline:
                 labels_np = lengths_np = confs_np = None
 
             if bi < n_batches:
-                masks = self._unpack_stage_a(
-                    fetched[0], fetched[1], fetched[2]
+                # Lazy artifacts: the native CC path consumes the
+                # PACKED transport directly; unpacking happens only on
+                # the python fallback.
+                masks = self._StageAArtifacts(
+                    fetched[0], fetched[1], fetched[2], self
                 )
                 if self.adaptive_downsample and lines_override is None:
-                    ds2 = self._adapt_target_ds(masks, ds_used)
+                    ds2 = self._adapt_artifacts(masks, ds_used)
                     if ds2 is not None:
                         # Second pass at the corrected scale: re-resize
                         # on host (the full page never crossed the link
@@ -1841,11 +1981,12 @@ class TPUPagePipeline:
                                 )
                             else:
                                 small2 = jnp.asarray(small2)
-                            masks = self._unpack_stage_a(
+                            masks = self._StageAArtifacts(
                                 *jax.tree_util.tree_map(
                                     np.asarray,
                                     self._stage_a_small(small2),
-                                )
+                                ),
+                                self,
                             )
                         ds_used = ds2
                 warp_futures[bi] = warper.submit(

@@ -252,6 +252,46 @@ def native_cc_baselines(
     return out_pts, out_npts, out_heights, out_valid
 
 
+def native_cc_lines_packed(
+    packed: np.ndarray, heights_q: np.ndarray, hf: int,
+    max_comps: int = 4096, max_pts: int = 10,
+):
+    """Fused packed-mask -> component baselines + adaptation stats in
+    one C++ pass (native/perotpu.cpp cc_lines_packed; replaces host
+    unpack + (5,3) dilation + 8-connected labeling + per-component
+    extraction).  ``packed``: (H, W/8) uint8 1-bit baseline mask;
+    ``heights_q``: (Hq, Wq, 2) uint8 quarter-px pooled heights with
+    pool factor ``hf``.  Returns (pts, npts, heights, n_emitted,
+    n_px, hist0) where hist0 is the 256-bin histogram of channel-0
+    heights_q values under set bits (exact median support for the
+    adaptive downsample), or None when the library/symbol is
+    unavailable or the component budget overflows."""
+    lib = get_library()
+    if lib is None or not hasattr(lib, "cc_lines_packed"):
+        return None
+    packed = np.ascontiguousarray(packed, np.uint8)
+    heights_q = np.ascontiguousarray(heights_q, np.uint8)
+    h, wb = packed.shape
+    out_pts = np.zeros((max_comps, max_pts, 2), np.float64)
+    out_npts = np.zeros(max_comps, np.int32)
+    out_heights = np.zeros((max_comps, 2), np.float64)
+    out_npx = np.zeros(1, np.int64)
+    hist0 = np.zeros(256, np.int64)
+    lib.cc_lines_packed.restype = ctypes.c_int32
+    n = lib.cc_lines_packed(
+        _ptr(packed, ctypes.c_uint8), h, wb,
+        _ptr(heights_q, ctypes.c_uint8), heights_q.shape[1], int(hf),
+        max_comps, max_pts,
+        _ptr(out_pts, ctypes.c_double), _ptr(out_npts, ctypes.c_int32),
+        _ptr(out_heights, ctypes.c_double),
+        _ptr(out_npx, ctypes.c_int64), _ptr(hist0, ctypes.c_int64),
+    )
+    if n < 0:
+        return None
+    return (out_pts[:n], out_npts[:n], out_heights[:n],
+            int(n), int(out_npx[0]), hist0)
+
+
 def native_separator_penalties(
     bx: np.ndarray, by: np.ndarray, offs: np.ndarray,
     q_line: np.ndarray, q_shift: np.ndarray,

@@ -544,7 +544,10 @@ class TestAdaptiveDownsample:
                 return 2
             return orig(masks, ds_used)
 
+        # The crops loop decides through _adapt_artifacts (native packed
+        # stats), the page loop through _adapt_target_ds — force both.
         p._adapt_target_ds = force_once
+        p._adapt_artifacts = force_once
         results = list(p.run(synthetic_pages(6), page_batch=2))
         assert len(results) == 6
         assert calls and calls[0] == 4
@@ -819,6 +822,46 @@ class TestStageATransport:
         assert np.abs(
             got_sep - np.clip(pooled_sep, 0, 1.0)
         ).max() <= 0.5 / 15.0 + 1e-4
+
+    def test_native_cc_lines_match_python_path(self, pipeline):
+        """The fused native packed-mask -> baselines kernel
+        (cc_lines_packed) must reproduce the unpack + dilate + label +
+        extract python path exactly: same lines, same order, same
+        heights — and the adaptation decision from its histograms must
+        equal the unpacked-median decision."""
+        import pero_ocr_tpu.utils.native as native_lib
+
+        if native_lib.get_library() is None:
+            pytest.skip("native library not built")
+
+        pages = synthetic_pages(3, h=448, w=384)
+        grays = np.stack([pipeline._gray(p) for p in pages])
+        small = np.stack([pipeline._canvas(g, 2) for g in grays])
+        packed, heights_q, sep_q = jax.tree_util.tree_map(
+            np.asarray, pipeline._stage_a_small(jnp.asarray(small))
+        )
+        arts = pipeline._StageAArtifacts(packed, heights_q, sep_q, pipeline)
+
+        via_packed, _, _ = pipeline._batch_lines(
+            pages, [0, 1, 2], None, arts, 2
+        )
+        via_tuple, _, _ = pipeline._batch_lines(
+            pages, [0, 1, 2],
+            None, pipeline._unpack_stage_a(packed, heights_q, sep_q), 2,
+        )
+        for (b_a, h_a, c_a), (b_b, h_b, c_b) in zip(via_packed, via_tuple):
+            assert len(b_a) == len(b_b)
+            for x, y in zip(b_a, b_b):
+                np.testing.assert_array_equal(x, y)
+            for x, y in zip(h_a, h_b):
+                assert x == pytest.approx(y, abs=1e-9)
+            assert (c_a is None) == (c_b is None)
+            if c_a is not None:
+                np.testing.assert_array_equal(c_a, c_b)
+
+        assert pipeline._adapt_artifacts(arts, 2) == pipeline._adapt_target_ds(
+            pipeline._unpack_stage_a(packed, heights_q, sep_q), 2
+        )
 
     def test_pool_factor_scales_with_canvas(self, pipeline):
         """Large (ds<=2 second-pass) canvases ship heights/sep at double
