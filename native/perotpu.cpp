@@ -396,11 +396,19 @@ void cc_baselines_f32(const int32_t* labels, int32_t h, int32_t w,
 // sample sets yield 1.0 — exactly the python get_penalty semantics
 // (pero_ocr_tpu/layout_engines/cnn_engine.py get_penalty).
 // ---------------------------------------------------------------------
+// ``pool``: the sep_map is POOL-pooled (H/pool, W/pool) while h/w stay
+// the FULL map dims the query coordinates live in — sampling indexes
+// sep_map[(yy/pool) * (w/pool) + x/pool], which equals sampling the
+// repeat-upsampled full-res map (values constant within each cell), so
+// the pooled call is byte-exact vs pool=1 on the upsampled array
+// without ever materializing it (36MB/batch at the ds-2 shapes).
 void separator_penalties_f32(
     const double* bx, const double* by, const int32_t* offs,
     const int32_t* q_line, const double* q_shift,
     const double* q_x1, const double* q_x2, int32_t n_q,
-    const float* sep_map, int32_t h, int32_t w, double* out) {
+    const float* sep_map, int32_t h, int32_t w, int32_t pool,
+    double* out) {
+    const int32_t wq = w / pool;
     for (int32_t q = 0; q < n_q; ++q) {
         const int32_t lo = offs[q_line[q]];
         const int32_t hi = offs[q_line[q] + 1];
@@ -443,7 +451,7 @@ void separator_penalties_f32(
             for (int64_t dy = -1; dy <= 1; ++dy) {
                 const int64_t yy =
                     std::min((int64_t)h - 1, std::max((int64_t)0, yc + dy));
-                total += sep_map[yy * w + x];
+                total += sep_map[(yy / pool) * wq + x / pool];
             }
             any = true;
         }

@@ -262,7 +262,8 @@ class LayoutEngine:
         )
 
     # ------------------------------------------------------------------
-    def get_penalty(self, baseline, shift, x_1, x_2, sep_map, thickness=1):
+    def get_penalty(self, baseline, shift, x_1, x_2, sep_map, thickness=1,
+                    pool=1):
         """Mean separator-map mass along a shifted baseline within
         [x_1, x_2] (reference: cnn_layout_engine.py:258-283).
 
@@ -278,7 +279,7 @@ class LayoutEngine:
         x2 = int(round(x_2))
         if x2 <= x1 or bx[-1] <= bx[0]:
             return 1.0
-        h, w = sep_map.shape
+        h, w = sep_map.shape[0] * pool, sep_map.shape[1] * pool
         xs = np.arange(x1, x2)
         # Only columns the baseline actually spans contribute mass (the
         # raster mask was empty elsewhere); the denominator stays x2-x1.
@@ -290,10 +291,10 @@ class LayoutEngine:
         total = 0.0
         for dy in range(-thickness, thickness + 1):
             yy = np.clip(ys + dy, 0, h - 1)
-            total += float(sep_map[yy, xs].sum())
+            total += float(sep_map[yy // pool, xs // pool].sum())
         return total / max(x_2 - x_1, 1e-6)
 
-    def get_pair_penalty(self, b1, b2, h1, h2, sep_map, ds):
+    def get_pair_penalty(self, b1, b2, h1, h2, sep_map, ds, pool=1):
         """Separator penalty between two lines' facing edges
         (reference: cnn_layout_engine.py:286-301)."""
         x_overlap = max(
@@ -306,14 +307,19 @@ class LayoutEngine:
         x_1 = int(max(np.amin(b1[:, 0]), np.amin(b2[:, 0])))
         x_2 = int(min(np.amax(b1[:, 0]), np.amax(b2[:, 0])))
         if np.average(b1[:, 1]) > np.average(b2[:, 1]):
-            p1 = self.get_penalty(b1 / ds, -h1[0] / ds, x_1 / ds, x_2 / ds, sep_map)
-            p2 = self.get_penalty(b2 / ds, h2[1] / ds, x_1 / ds, x_2 / ds, sep_map)
+            p1 = self.get_penalty(b1 / ds, -h1[0] / ds, x_1 / ds, x_2 / ds,
+                                  sep_map, pool=pool)
+            p2 = self.get_penalty(b2 / ds, h2[1] / ds, x_1 / ds, x_2 / ds,
+                                  sep_map, pool=pool)
         else:
-            p1 = self.get_penalty(b1 / ds, h1[1] / ds, x_1 / ds, x_2 / ds, sep_map)
-            p2 = self.get_penalty(b2 / ds, -h2[0] / ds, x_1 / ds, x_2 / ds, sep_map)
+            p1 = self.get_penalty(b1 / ds, h1[1] / ds, x_1 / ds, x_2 / ds,
+                                  sep_map, pool=pool)
+            p2 = self.get_penalty(b2 / ds, -h2[0] / ds, x_1 / ds, x_2 / ds,
+                                  sep_map, pool=pool)
         return abs(max(p1, p2))
 
-    def _pair_penalties_batch(self, b_list, h_list, pairs, sep_map, ds):
+    def _pair_penalties_batch(self, b_list, h_list, pairs, sep_map, ds,
+                              pool=1):
         """All close pairs' separator penalties in ONE native call
         (native/perotpu.cpp separator_penalties_f32) — the per-pair
         python loop was the clustering's hot path on the 1-core host.
@@ -362,7 +368,7 @@ class LayoutEngine:
                 np.asarray(offs, np.int32),
                 np.asarray(q_line, np.int32),
                 np.asarray(q_shift, float),
-                x12[:, 0], x12[:, 1], sep_map,
+                x12[:, 0], x12[:, 1], sep_map, pool,
             )
             if out is None:
                 return None
@@ -370,7 +376,8 @@ class LayoutEngine:
                 penalties[p_idx] = abs(max(out[2 * k], out[2 * k + 1]))
         return penalties
 
-    def make_clusters(self, b_list, h_list, t_list, separator_map, ds):
+    def make_clusters(self, b_list, h_list, t_list, separator_map, ds,
+                      sep_pool=1):
         """Cluster lines into paragraphs: candidate pairs by dilated-outline
         overlap, edges where separator penalty is low, connected components
         (reference: cnn_layout_engine.py:330-372)."""
@@ -419,7 +426,8 @@ class LayoutEngine:
                 close = dists <= thresholds
             close_pairs = pairs[close]
             pen = self._pair_penalties_batch(
-                b_list, h_list, close_pairs, separator_map, ds
+                b_list, h_list, close_pairs, separator_map, ds,
+                pool=sep_pool,
             )
             if pen is not None:
                 distances[close_pairs[:, 0], close_pairs[:, 1]] = pen
@@ -428,7 +436,7 @@ class LayoutEngine:
                 for i, j in close_pairs:
                     penalty = self.get_pair_penalty(
                         b_list[i], b_list[j], h_list[i], h_list[j],
-                        separator_map, ds,
+                        separator_map, ds, pool=sep_pool,
                     )
                     distances[i, j] = penalty
                     distances[j, i] = penalty

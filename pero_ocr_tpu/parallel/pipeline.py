@@ -1373,7 +1373,7 @@ class TPUPagePipeline:
         extraction); full unpacking happens only on the fallback."""
 
         __slots__ = ("packed", "heights_q", "sep_q", "_pipe",
-                     "_unpacked", "_sep_maps")
+                     "_unpacked", "_sep_maps", "_sep_pooled")
 
         def __init__(self, packed, heights_q, sep_q, pipe):
             self.packed = packed
@@ -1382,6 +1382,7 @@ class TPUPagePipeline:
             self._pipe = pipe
             self._unpacked = None
             self._sep_maps = None
+            self._sep_pooled = None
 
         @property
         def unpacked(self):
@@ -1400,6 +1401,23 @@ class TPUPagePipeline:
                     self.sep_q, self.packed.shape[1]
                 )
             return self._sep_maps
+
+        @property
+        def sep_pooled(self):
+            """(floats at POOLED res, pool factor): the clustering
+            penalties index this directly (separator_penalties_f32
+            pool arg) — byte-exact vs sampling the repeat-upsampled
+            map, without the 36MB/batch materialization."""
+            if self._sep_pooled is None:
+                sep_nib = np.stack(
+                    [self.sep_q >> 4, self.sep_q & 0xF], axis=-1
+                ).reshape(self.sep_q.shape[0], self.sep_q.shape[1],
+                          self.sep_q.shape[2] * 2)
+                pooled = sep_nib.astype(np.float32) / 15.0
+                self._sep_pooled = (
+                    pooled, self.packed.shape[1] // pooled.shape[1]
+                )
+            return self._sep_pooled
 
     def _lines_from_packed(self, packed_page, heights_q_page, ds):
         """Native fast path of :meth:`_lines_from_masks` operating on
@@ -1515,9 +1533,13 @@ class TPUPagePipeline:
             masks if isinstance(masks, TPUPagePipeline._StageAArtifacts)
             else None
         )
+        sep_pool = 1
         if arts is not None:
             baselines_masks = connecteds = heights_maps = None
-            sep_maps = arts.sep_maps if self.cluster_paragraphs else None
+            if self.cluster_paragraphs:
+                sep_maps, sep_pool = arts.sep_pooled
+            else:
+                sep_maps = None
         else:
             baselines_masks, connecteds, heights_maps, sep_maps = (
                 masks if masks is not None else (None, None, None, None)
@@ -1541,6 +1563,7 @@ class TPUPagePipeline:
                         arts.unpacked
                     )
                     arts = None
+                    sep_pool = 1
                     b_list, h_list = self._lines_from_masks(
                         baselines_masks[slot], connecteds[slot],
                         heights_maps[slot], ds,
@@ -1563,6 +1586,7 @@ class TPUPagePipeline:
                 self._cluster_lines(
                     b_list, h_list,
                     sep_maps[slot] if sep_maps is not None else None, ds,
+                    sep_pool,
                 )
                 if lines_override is None else None
             )
@@ -1574,10 +1598,12 @@ class TPUPagePipeline:
         )
         return page_lines, max_n, n_slot
 
-    def _cluster_lines(self, b_list, h_list, sep_map, ds=None):
+    def _cluster_lines(self, b_list, h_list, sep_map, ds=None, sep_pool=1):
         """Paragraph ids via the layout engine's separator-penalty
         clustering (reference: cnn_layout_engine.py:330-372), running in
-        the host worker thread on the transported separator map."""
+        the host worker thread on the transported separator map
+        (``sep_pool`` > 1: sep_map stays at the pooled transport
+        resolution and the penalties index it directly)."""
         if not self.cluster_paragraphs or len(b_list) == 0:
             return None
         from pero_ocr_tpu.layout_engines import helpers
@@ -1588,7 +1614,7 @@ class TPUPagePipeline:
         ]
         clusters = self._clusterer.make_clusters(
             [np.asarray(b) for b in b_list], h_list, t_list, sep_map,
-            self.downsample if ds is None else ds,
+            self.downsample if ds is None else ds, sep_pool=sep_pool,
         )
         return list(np.asarray(clusters).tolist())
 

@@ -107,7 +107,22 @@ def get_library() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_double),
                 ctypes.POINTER(ctypes.c_double), ctypes.c_int32,
                 ctypes.POINTER(ctypes.c_float), ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_double),
+            ]
+        except AttributeError:
+            pass
+        try:
+            lib.cc_lines_packed.restype = ctypes.c_int32
+            lib.cc_lines_packed.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32,
+                ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
                 ctypes.c_int32, ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
             ]
         except AttributeError:
             pass
@@ -296,10 +311,14 @@ def native_separator_penalties(
     bx: np.ndarray, by: np.ndarray, offs: np.ndarray,
     q_line: np.ndarray, q_shift: np.ndarray,
     q_x1: np.ndarray, q_x2: np.ndarray, sep_map: np.ndarray,
+    pool: int = 1,
 ):
     """Batched separator-map penalties (paragraph clustering hot path;
-    see native/perotpu.cpp separator_penalties_f32).  Returns the (Q,)
-    penalties or None when the library/symbol is unavailable."""
+    see native/perotpu.cpp separator_penalties_f32).  ``pool`` > 1
+    means sep_map is a pooled (H/pool, W/pool) array while query
+    coordinates stay full-map — sampling is byte-exact vs the
+    repeat-upsampled map.  Returns the (Q,) penalties or None when the
+    library/symbol is unavailable."""
     lib = get_library()
     if lib is None or not hasattr(lib, "separator_penalties_f32"):
         return None
@@ -318,8 +337,8 @@ def native_separator_penalties(
         _ptr(offs, ctypes.c_int32), _ptr(q_line, ctypes.c_int32),
         _ptr(q_shift, ctypes.c_double), _ptr(q_x1, ctypes.c_double),
         _ptr(q_x2, ctypes.c_double), len(q_line),
-        _ptr(sep_map, ctypes.c_float), h, w,
-        _ptr(out, ctypes.c_double),
+        _ptr(sep_map, ctypes.c_float), h * int(pool), w * int(pool),
+        int(pool), _ptr(out, ctypes.c_double),
     )
     return out
 

@@ -227,6 +227,40 @@ class TestSeparatorPenalties:
         eng._pair_penalties_batch = orig
         np.testing.assert_array_equal(native_clusters, python_clusters)
 
+    @pytest.mark.parametrize("native_path", [True, False])
+    def test_pooled_sep_map_equals_upsampled(self, native_path):
+        """sep_pool > 1 (the pipeline ships the separator at pooled
+        transport resolution) must reproduce the repeat-upsampled map's
+        penalties and clusters exactly — in BOTH the native kernel and
+        the python get_penalty fallback."""
+        from pero_ocr_tpu.layout_engines import helpers
+
+        eng, b_list, h_list, _ = self._setup()
+        rng = np.random.default_rng(7)
+        sf = 4
+        pooled = rng.random((20, 30)).astype(np.float32)
+        up = pooled.repeat(sf, 0).repeat(sf, 1)
+        t_list = [
+            helpers.baseline_to_textline(b, h)
+            for b, h in zip(b_list, h_list)
+        ]
+        orig = eng._pair_penalties_batch
+        if not native_path:
+            eng._pair_penalties_batch = lambda *a, **k: None
+        try:
+            c_up = eng.make_clusters(b_list, h_list, t_list, up, 4.0)
+            c_po = eng.make_clusters(
+                b_list, h_list, t_list, pooled, 4.0, sep_pool=sf
+            )
+        finally:
+            eng._pair_penalties_batch = orig
+        np.testing.assert_array_equal(c_up, c_po)
+        pairs = np.array([(0, 1), (2, 3), (4, 5)])
+        pen_up = orig(b_list, h_list, pairs, up, 4.0)
+        pen_po = orig(b_list, h_list, pairs, pooled, 4.0, pool=sf)
+        if pen_up is not None:
+            np.testing.assert_allclose(pen_up, pen_po, atol=1e-9)
+
 
 class TestCCBaselines:
     """The one-pass C++ component-baseline extraction must match the
