@@ -1197,7 +1197,7 @@ class TPUPagePipeline:
             raise ValueError("instrumentation requires transport='crops'")
         ids = list(range(min(page_batch, len(pages))))
         padded = ids + [ids[-1]] * (page_batch - len(ids))
-        grays = np.stack([self._gray(pages[i]) for i in padded])
+        grays = self._stack_grays(self._gray(pages[i]) for i in padded)
         small = np.stack([self._canvas(g) for g in grays])
         if self.transport_bits in (2, 4):
             small = self._pack4(small)
@@ -1487,6 +1487,26 @@ class TPUPagePipeline:
             sep_nib.astype(np.float32) / 15.0
         ).repeat(sf, axis=1).repeat(sf, axis=2)
 
+    @staticmethod
+    def _stack_grays(grays) -> np.ndarray:
+        """Stack per-page grayscale images, zero-padding each to the
+        batch's max dims rounded up to 64 (real folders mix page
+        sizes; the reference processes per page and never notices,
+        page_parser.py:457-531).  Baseline coordinates live in each
+        page's own frame, so padding beyond a page's bounds changes
+        neither the geometry nor the crops (off-page warp samples were
+        already zeros); the 64-rounding keeps the compiled canvas
+        shapes bucketed."""
+        grays = list(grays)
+        if len({g.shape for g in grays}) == 1:
+            return np.stack(grays)
+        h = int(np.ceil(max(g.shape[0] for g in grays) / 64) * 64)
+        w = int(np.ceil(max(g.shape[1] for g in grays) / 64) * 64)
+        out = np.zeros((len(grays), h, w), np.uint8)
+        for i, g in enumerate(grays):
+            out[i, : g.shape[0], : g.shape[1]] = g
+        return out
+
     def _unpack_stage_a(self, packed, heights_q, sep_q):
         """Host side of the stage-A artifact transport: 8x 1-bit
         baseline pixels per byte -> mask, with the `connected` (5,3)
@@ -1674,7 +1694,7 @@ class TPUPagePipeline:
             # Pad the final batch by repeating its last page so every
             # dispatch reuses the same compiled shape.
             padded = ids + [ids[-1]] * (page_batch - len(ids))
-            grays = np.stack([self._gray(pages[i]) for i in padded])
+            grays = self._stack_grays(self._gray(pages[i]) for i in padded)
             if self.transport_bits == 4:
                 stack = self._unpack4(jnp.asarray(self._pack4(grays)))
             else:
@@ -1813,7 +1833,7 @@ class TPUPagePipeline:
             the sticky adaptive downsample (reference last_downsample)."""
             ids = batches[batch_idx]
             padded = ids + [ids[-1]] * (page_batch - len(ids))
-            grays = np.stack([self._gray(pages[i]) for i in padded])
+            grays = self._stack_grays(self._gray(pages[i]) for i in padded)
             ds0 = (
                 self._last_ds if self.adaptive_downsample
                 else self.downsample
@@ -2073,7 +2093,7 @@ class TPUPagePipeline:
             if skip_stage_a:
                 small = None
             else:
-                grays = np.stack(grays)
+                grays = self._stack_grays(grays)
                 small = np.stack([self._canvas(g, ds0) for g in grays])
                 if self.transport_bits in (2, 4):
                     small = self._pack4(small)

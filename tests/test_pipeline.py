@@ -757,6 +757,63 @@ class TestPack2:
         assert err.max() <= 43, err.max()
 
 
+class TestMixedPageSizes:
+    """Real folders mix page sizes; every fast-pipeline loop must pad
+    each batch to its common 64-rounded canvas (the reference's
+    per-page processing never notices sizes, page_parser.py) with
+    transcriptions identical to same-page single runs."""
+
+    def _pages(self):
+        pages = [
+            np.full((256, 384, 3), 240, np.uint8),
+            np.full((320, 448, 3), 240, np.uint8),
+            np.full((256, 384, 3), 240, np.uint8),
+        ]
+        for p in pages:
+            p[60:70, 30:300] = 40
+        return pages
+
+    @staticmethod
+    def _ov(page):
+        return ([np.array([[30, 70], [300, 70]], float)], [[10.0, 4.0]])
+
+    def test_all_paths_run_and_match_single(self, pipeline):
+        pages = self._pages()
+        # CNN-detection page transport (module fixture pipeline).
+        assert len(list(pipeline.run(pages, page_batch=2))) == 3
+
+        parsenet = ParseNet(base_features=4, depth=2)
+        pn_params = parsenet.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
+        )
+        spec = RecognizerSpec(
+            num_classes=8, line_height=16, conv_features=(4, 8),
+            subsampling=2, lstm_layers=1, lstm_features=8,
+        )
+        rec = CTCRecognizer(spec)
+        rp = rec.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 16, 64, 3), jnp.float32)
+        )
+        crops_pipe = TPUPagePipeline(
+            parsenet, pn_params, rec, rp, downsample=4, crop_height=16,
+            crop_bucket=256, line_slot=8, transport="crops",
+            transport_bits=4,
+        )
+        assert len(list(crops_pipe.run(pages, page_batch=2))) == 3
+        mixed = sorted(
+            crops_pipe.run(pages, lines_override=self._ov, page_batch=2),
+            key=lambda r: r.page_index,
+        )
+        for m, page in zip(mixed, pages):
+            s = list(
+                crops_pipe.run([page], lines_override=self._ov,
+                               page_batch=1)
+            )[0]
+            n, ns = int(m.label_lengths[0]), int(s.label_lengths[0])
+            assert n == ns
+            np.testing.assert_array_equal(m.labels[0][:n], s.labels[0][:ns])
+
+
 class TestStageATransport:
     """The stage-A download diet must be information-preserving where
     the host geometry needs exactness: 1-bit mask round trip, the
