@@ -777,6 +777,34 @@ class TestMixedPageSizes:
     def _ov(page):
         return ([np.array([[30, 70], [300, 70]], float)], [[10.0, 4.0]])
 
+    def test_robustness_probes(self, pipeline):
+        """Inputs real folders produce that must not crash any loop:
+        2-D grayscale pages, pages smaller than one canvas tile, blank
+        pages mixed with text pages, and a zero-length baseline
+        override."""
+        gray2d = [np.full((256, 384), 240, np.uint8) for _ in range(2)]
+        for p in gray2d:
+            p[60:70, 30:300] = 40
+        assert len(list(pipeline.run(gray2d, page_batch=2))) == 2
+
+        tiny = [np.full((40, 50, 3), 240, np.uint8)]
+        assert len(list(pipeline.run(tiny, page_batch=1))) == 1
+
+        blank_mix = [
+            np.full((256, 384, 3), 240, np.uint8),
+            np.repeat(gray2d[0][..., None], 3, 2),
+        ]
+        assert len(list(pipeline.run(blank_mix, page_batch=2))) == 2
+
+        def degenerate(_):
+            return ([np.array([[30, 70], [30, 70]], float)], [[10.0, 4.0]])
+
+        out = list(
+            pipeline.run([blank_mix[1]], lines_override=degenerate,
+                         page_batch=1)
+        )
+        assert len(out) == 1
+
     def test_all_paths_run_and_match_single(self, pipeline):
         pages = self._pages()
         # CNN-detection page transport (module fixture pipeline).
