@@ -9,10 +9,13 @@ packed two 4-bit pixels per byte — ``transport_bits=4``):
 
 - **Stage A** (one jitted dispatch): device area-downsample -> ParseNet
   maps -> fused post-processing.  Only tiny artifacts return to the
-  host: 2-bit-packed baseline/connection masks (4 px/byte) and a
-  quarter-resolution quarter-pixel-quantized heights map (~0.1MB/page).
-- **Host**: connected components -> baselines (vectorized numpy; tiny
-  next to device work; geometry uploads are ~KB).
+  host: the 1-bit-packed baseline mask (8 px/byte; the connection
+  dilation is replayed host-side) and pooled quarter-pixel-quantized
+  heights/separator maps whose pool factor doubles on large canvases
+  (~0.1MB/page flat across the adaptation ladder).
+- **Host**: connected components -> baselines (one native C++ pass
+  over the packed bits; tiny next to device work; geometry uploads
+  are ~KB).
 - **Stage B** (two chained device programs, data resident): structured
   gather-free crop warp -> CTC recognizer -> greedy labels.  Only packed
   label ids come back.
