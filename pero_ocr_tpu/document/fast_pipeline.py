@@ -88,7 +88,8 @@ class FastPagePipeline:
                  line_slot: int = 32, crop_bucket: int = 2048, mesh=None,
                  transport_bits: int = 4, transport: str = "page",
                  want_logits: bool = False, want_crops: bool = False,
-                 logits_topk: int = 8, reocr: bool = False):
+                 logits_topk: int = 8, reocr: bool = False,
+                 canvas_bits=None):
         """``reocr=True`` builds the recognize-only variant for re-OCR of
         existing layouts (``--input-xml-path`` with no layout stages in
         the config, reference: user_scripts/parse_folder.py:165-168): no
@@ -156,6 +157,7 @@ class FastPagePipeline:
                 mesh=mesh,
                 transport_bits=transport_bits,
                 transport=transport,
+                canvas_bits=canvas_bits,
                 cluster_paragraphs=False,
                 want_logits=want_logits,
                 logits_topk=logits_topk,
@@ -178,6 +180,7 @@ class FastPagePipeline:
                 mesh=mesh,
                 transport_bits=transport_bits,
                 transport=transport,
+                canvas_bits=canvas_bits,
                 want_logits=want_logits,
                 logits_topk=logits_topk,
                 adaptive_downsample=bool(

@@ -108,6 +108,7 @@ class TPUPagePipeline:
         logits_topk: int = 8,
         adaptive_downsample: bool = False,
         override_inflight: int = 2,
+        canvas_bits: Optional[int] = None,
     ):
         """``mesh``: optional jax.sharding.Mesh with a 'dp' axis — page
         batches shard across it (page_batch must be a multiple of the dp
@@ -127,6 +128,14 @@ class TPUPagePipeline:
         host-link bytes, which bound end-to-end page throughput; 2 (crop
         transport only, for high-contrast print) packs four 2-bit pixels
         per byte for the CROPS while the layout page stays 4-bit.
+
+        ``canvas_bits`` (crop transport only): packing for the 1/ds
+        LAYOUT canvas independent of the crops — None follows
+        transport_bits (4-bit canvas when transport_bits <= 4, raw at
+        8); 2 halves the canvas upload for high-contrast print at a
+        DETECTION-input quantization (gate it like the crop bits:
+        the toy-detector parity test in tests/test_pipeline.py is
+        necessary, not sufficient, for real models).
 
         ``transport``: "page" ships whole pages and warps crops on
         device; "crops" ships a host-downsampled 1/4-res page for layout
@@ -169,6 +178,15 @@ class TPUPagePipeline:
             )
         self.transport = transport
         self.transport_bits = transport_bits
+        if canvas_bits is not None:
+            if transport != "crops":
+                raise ValueError("canvas_bits requires transport='crops'")
+            if canvas_bits not in (8, 4, 2):
+                raise ValueError(f"canvas_bits={canvas_bits} invalid")
+        self.canvas_bits = (
+            canvas_bits if canvas_bits is not None
+            else (4 if transport_bits in (2, 4) else 8)
+        )
         self.trim_crops = trim_crops and transport == "crops"
         self.dither_2bit = dither_2bit
         self.mesh = mesh
@@ -243,6 +261,7 @@ class TPUPagePipeline:
         topk = min(logits_topk, _num_classes)
 
         ds = downsample
+        canvas_bits_resolved = self.canvas_bits
 
         def maps_and_pack(small):
             """small: (PB, h64, w64, 1) float gray in [0, 255] at 1/ds
@@ -558,8 +577,10 @@ class TPUPagePipeline:
             """Strip-transport sibling of combined_crops: ONE program
             per batch fusing stage A of batch i with recognition of
             batch i-LAG's trimmed strip."""
-            if transport_bits in (2, 4):
+            if canvas_bits_resolved == 4:
                 small_u8 = unpack4_expr(small_u8)
+            elif canvas_bits_resolved == 2:
+                small_u8 = unpack2_expr(small_u8)
             packed, heights_q, sep_q = maps_and_pack(
                 small_u8.astype(jnp.float32)[..., None]
             )
@@ -581,8 +602,10 @@ class TPUPagePipeline:
             small_u8: (PB, h64, w64) uint8 1/ds pages, or (PB, h64,
             w64/2) nibble-packed when transport_bits<=4 (the layout page
             never drops below 4-bit; only crops do at 2)."""
-            if transport_bits in (2, 4):
+            if canvas_bits_resolved == 4:
                 small_u8 = unpack4_expr(small_u8)
+            elif canvas_bits_resolved == 2:
+                small_u8 = unpack2_expr(small_u8)
             packed, heights_q, sep_q = maps_and_pack(
                 small_u8.astype(jnp.float32)[..., None]
             )
@@ -684,6 +707,18 @@ class TPUPagePipeline:
             return jnp.stack([hi, lo], axis=-1).reshape(pb, h, w2 * 2)
 
         self._unpack4 = unpack4
+
+        @jax.jit
+        def unpack2(packed_u8):
+            """(PB, H, W/4) 2-bit quads -> (PB, H, W) uint8 (q*85)."""
+            pb, h, w4 = packed_u8.shape
+            qs = [
+                ((packed_u8 >> (2 * i)) & 3) * jnp.uint8(85)
+                for i in range(4)
+            ]
+            return jnp.stack(qs, axis=-1).reshape(pb, h, w4 * 4)
+
+        self._unpack2 = unpack2
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -1202,16 +1237,12 @@ class TPUPagePipeline:
         padded = ids + [ids[-1]] * (page_batch - len(ids))
         grays = self._stack_grays(self._gray(pages[i]) for i in padded)
         small = np.stack([self._canvas(g) for g in grays])
-        if self.transport_bits in (2, 4):
-            small = self._pack4(small)
+        small = self._pack_canvas(small)
         small_dev = jnp.asarray(small)
         if lines_override is None:
             # stage_a_small consumes the UNPACKED canvas (the combined
             # programs unpack inside; the standalone one does not).
-            sd = (
-                self._unpack4(small_dev)
-                if self.transport_bits in (2, 4) else small_dev
-            )
+            sd = self._unpack_canvas_dev(small_dev)
             masks = self._unpack_stage_a(
                 *[np.asarray(o) for o in self._stage_a_small(sd)]
             )
@@ -1489,6 +1520,25 @@ class TPUPagePipeline:
         return (
             sep_nib.astype(np.float32) / 15.0
         ).repeat(sf, axis=1).repeat(sf, axis=2)
+
+    def _pack_canvas(self, small: np.ndarray) -> np.ndarray:
+        """Pack the 1/ds layout canvas at canvas_bits (crop transport;
+        plain rounding at 2 — the canvas is detection input, dithering
+        would entropy-fill the background the transport compresses)."""
+        if self.canvas_bits == 4:
+            return self._pack4(small)
+        if self.canvas_bits == 2:
+            return self._pack2(small)
+        return small
+
+    def _unpack_canvas_dev(self, small_dev):
+        """Device-side inverse of _pack_canvas (for the standalone
+        stage-A program, which consumes the UNPACKED canvas)."""
+        if self.canvas_bits == 4:
+            return self._unpack4(small_dev)
+        if self.canvas_bits == 2:
+            return self._unpack2(small_dev)
+        return small_dev
 
     @staticmethod
     def _stack_grays(grays) -> np.ndarray:
@@ -1842,9 +1892,7 @@ class TPUPagePipeline:
                 else self.downsample
             )
             small = np.stack([self._canvas(g, ds0) for g in grays])
-            if self.transport_bits in (2, 4):
-                small = self._pack4(small)
-            return grays, small, ds0
+            return grays, self._pack_canvas(small), ds0
 
         def geometry_and_warp(bi, grays, masks, ds_used):
             """Worker-thread job: CC line parse + host crop warp + pack
@@ -2024,12 +2072,11 @@ class TPUPagePipeline:
                             small2 = np.stack(
                                 [self._canvas(g, ds2) for g in grays]
                             )
-                            if self.transport_bits in (2, 4):
-                                small2 = self._unpack4(
-                                    jnp.asarray(self._pack4(small2))
-                                )
-                            else:
-                                small2 = jnp.asarray(small2)
+                            # Quantize-roundtrip so the second pass
+                            # sees the same canvas a first pass would.
+                            small2 = self._unpack_canvas_dev(
+                                jnp.asarray(self._pack_canvas(small2))
+                            )
                             masks = self._StageAArtifacts(
                                 *jax.tree_util.tree_map(
                                     np.asarray,
@@ -2098,8 +2145,7 @@ class TPUPagePipeline:
             else:
                 grays = self._stack_grays(grays)
                 small = np.stack([self._canvas(g, ds0) for g in grays])
-                if self.transport_bits in (2, 4):
-                    small = self._pack4(small)
+                small = self._pack_canvas(small)
             with stage_timer("pipeline/host_geometry"):
                 page_lines, max_n, n_slot = self._batch_lines(
                     pages, ids, lines_override, None, ds0

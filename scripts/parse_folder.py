@@ -77,6 +77,14 @@ def parse_arguments():
                              "high-contrast print) packs four CROP pixels "
                              "per byte with plain rounding while the "
                              "layout page stays 4-bit.")
+    parser.add_argument("--canvas-bits", type=int, choices=[2, 4, 8],
+                        default=None,
+                        help="Fast-pipeline LAYOUT-canvas packing (crops "
+                             "transport only), independent of the crop "
+                             "bits: 2 halves the canvas upload for "
+                             "high-contrast print — it quantizes the "
+                             "DETECTION input, so gate it like the crop "
+                             "bits. Default follows --transport-bits.")
     parser.add_argument("--transport", choices=["page", "crops"],
                         default="page",
                         help="Fast-pipeline transport: 'page' ships whole "
@@ -493,6 +501,9 @@ def main():
                 "(the layout page never drops below 4-bit)."
             )
             sys.exit(2)
+        if args.canvas_bits is not None and args.transport != "crops":
+            logging.error("--canvas-bits requires --transport crops.")
+            sys.exit(2)
         from pero_ocr_tpu.document.fast_pipeline import FastPagePipeline
 
         mesh = None
@@ -517,6 +528,7 @@ def main():
         fast = FastPagePipeline(
             page_parser, transport_bits=args.transport_bits,
             transport=args.transport, mesh=mesh, page_batch=page_batch,
+            canvas_bits=args.canvas_bits,
             want_logits=bool(output_logit_path or output_alto_path),
             want_crops=bool(output_line_path),
             reocr=fast_reocr,

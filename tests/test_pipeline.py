@@ -959,6 +959,113 @@ class TestStageATransport:
         assert 704 // hq_b.shape[1] == 8 and 704 // sq_b.shape[1] == 4
 
 
+class TestCanvasBits:
+    """The 2-bit LAYOUT-canvas option (halves the honest loop's
+    dominant upload) quantizes the DETECTION input: the gate is a
+    TRAINED detector whose line sets must survive the quantization on
+    high-contrast print.  (Necessary, not sufficient, for real models
+    — same standing as the crop-bits CER gates.)"""
+
+    def _trained_detector(self):
+        import hashlib
+        import os
+
+        from pero_ocr_tpu.parallel import train as train_lib
+        from pero_ocr_tpu.utils.checkpoint import (
+            load_variables,
+            save_variables,
+        )
+
+        parsenet = ParseNet(base_features=8, depth=2)
+        template = parsenet.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
+        )
+        key = hashlib.sha1(b"canvas-bits-gate-v1").hexdigest()[:16]
+        cache = os.path.expanduser(
+            f"~/.cache/pero_test_ckpt/cbgate_{key}.ckpt"
+        )
+        page = self._page()
+        if os.path.exists(cache):
+            try:
+                return parsenet, load_variables(cache, template), page
+            except Exception:
+                pass
+        gray = page[:, :, 0]
+        small = gray[::4, ::4]
+        tgt = np.zeros(small.shape + (5,), np.float32)
+        for y, x0, x1 in self._lines():
+            ym, xa, xb = y // 4, x0 // 4, x1 // 4
+            tgt[ym, xa:xb, 2] = 1.0
+            tgt[max(ym - 3, 0) : ym + 1, xa:xb, 0] = 3.0
+            tgt[max(ym - 3, 0) : ym + 1, xa:xb, 1] = 1.0
+            tgt[ym, xa, 3] = 1.0
+            tgt[ym, xb - 1, 3] = 1.0
+        x = jnp.asarray(
+            np.repeat(small[:, :, None], 3, 2).astype(np.float32)[None]
+            / 255.0
+        )
+        t = jnp.asarray(tgt[None])
+        optimizer = train_lib.make_optimizer(5e-3)
+        state = train_lib.TrainState(
+            template, optimizer.init(template), jnp.zeros((), jnp.int32)
+        )
+        step = jax.jit(train_lib.make_parsenet_train_step(
+            parsenet, optimizer, height_weight=0.05,
+        ))
+        for _ in range(250):
+            state, loss = step(state, x, t)
+        assert float(loss) < 0.1, f"gate detector failed to train: {loss}"
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        save_variables(state.params, cache)
+        return parsenet, state.params, page
+
+    @staticmethod
+    def _lines():
+        return [(64 + 40 * r, 32, 288) for r in range(4)]
+
+    def _page(self):
+        page = np.full((256, 320, 3), 245, np.uint8)
+        for y, x0, x1 in self._lines():
+            page[y - 12 : y - 2, x0:x1] = 30
+        return page
+
+    def test_2bit_canvas_detection_parity(self):
+        parsenet, pn_params, page = self._trained_detector()
+        spec = RecognizerSpec(
+            num_classes=8, line_height=16, conv_features=(4, 8),
+            subsampling=2, lstm_layers=1, lstm_features=8,
+        )
+        rec = CTCRecognizer(spec)
+        rp = rec.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 16, 64, 3), jnp.float32)
+        )
+        got = {}
+        for cb in (4, 2):
+            pipe = TPUPagePipeline(
+                parsenet, pn_params, rec, rp, downsample=4,
+                crop_height=16, crop_bucket=256, line_slot=8,
+                transport="crops", transport_bits=4, canvas_bits=cb,
+            )
+            results = list(pipe.run([page], page_batch=1))
+            got[cb] = [
+                np.asarray(b) for b in results[0].baselines
+            ]
+        assert len(got[4]) == len(self._lines()), (
+            f"gate detector found {len(got[4])} lines"
+        )
+        assert len(got[2]) == len(got[4])
+        for b4, b2 in zip(got[4], got[2]):
+            assert abs(b4[0][1] - b2[0][1]) <= 2.5
+            assert abs(b4[0][0] - b2[0][0]) <= 12
+            assert abs(b4[-1][0] - b2[-1][0]) <= 12
+
+    def test_canvas_bits_validation(self, pipeline):
+        with pytest.raises(ValueError, match="canvas_bits"):
+            TPUPagePipeline(
+                None, None, None, None, transport="page", canvas_bits=2,
+            )
+
+
 class TestTransformerRecognizer:
     """The device pipeline is not CTC-only: a native transformer OCR
     model runs its greedy AR decode (one lax.scan, KV-cached) inside
