@@ -32,11 +32,14 @@ rng = np.random.default_rng(0)
 import os
 os.makedirs("images", exist_ok=True)
 for p in range(3):
-    img = np.full((400, 600, 3), 245, np.uint8)
+    # page2 is a different size: real folders mix page sizes, and the
+    # fast pipeline must batch them (mixed-size padding fix).
+    h, w_page = (400, 600) if p < 2 else (448, 672)
+    img = np.full((h, w_page, 3), 245, np.uint8)
     y = 60
     for _ in range(4):
         x = 40
-        while x < 540:
+        while x < w_page - 60:
             w = int(rng.integers(10, 30))
             img[y - 18 : y - 2, x : x + w] = int(rng.integers(0, 60))
             x += w + int(rng.integers(4, 12))
