@@ -1407,7 +1407,7 @@ class TPUPagePipeline:
         extraction); full unpacking happens only on the fallback."""
 
         __slots__ = ("packed", "heights_q", "sep_q", "_pipe",
-                     "_unpacked", "_sep_maps", "_sep_pooled")
+                     "_unpacked", "_sep_pooled")
 
         def __init__(self, packed, heights_q, sep_q, pipe):
             self.packed = packed
@@ -1415,7 +1415,6 @@ class TPUPagePipeline:
             self.sep_q = sep_q
             self._pipe = pipe
             self._unpacked = None
-            self._sep_maps = None
             self._sep_pooled = None
 
         @property
@@ -1425,16 +1424,6 @@ class TPUPagePipeline:
                     self.packed, self.heights_q, self.sep_q
                 )
             return self._unpacked
-
-        @property
-        def sep_maps(self):
-            if self._unpacked is not None:
-                return self._unpacked[3]
-            if self._sep_maps is None:
-                self._sep_maps = self._pipe._unpack_sep(
-                    self.sep_q, self.packed.shape[1]
-                )
-            return self._sep_maps
 
         @property
         def sep_pooled(self):
@@ -1509,17 +1498,6 @@ class TPUPagePipeline:
             mid_lo = int(np.searchsorted(cum, n // 2))
             med_q = 0.5 * (mid_lo + mid_hi)
         return self._adapt_decide(med_q / 4.0, ds_used)
-
-    def _unpack_sep(self, sep_q, map_h: int):
-        """Separator maps only (the native CC path never unpacks the
-        masks; clustering still wants the sep map at map resolution)."""
-        sf = map_h // sep_q.shape[1]
-        sep_nib = np.stack(
-            [sep_q >> 4, sep_q & 0xF], axis=-1
-        ).reshape(sep_q.shape[0], sep_q.shape[1], sep_q.shape[2] * 2)
-        return (
-            sep_nib.astype(np.float32) / 15.0
-        ).repeat(sf, axis=1).repeat(sf, axis=2)
 
     def _pack_canvas(self, small: np.ndarray) -> np.ndarray:
         """Pack the 1/ds layout canvas at canvas_bits (crop transport;
