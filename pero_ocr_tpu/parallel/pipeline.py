@@ -467,6 +467,14 @@ class TPUPagePipeline:
                 )
             else:
                 sub = max(1, crops.shape[2] // logits.shape[1])
+                # Deliberate ceil (reference logit_coords floors,
+                # line_ocr_engine.py:162-164): a line whose width is not
+                # a multiple of the subsampling still has real pixels in
+                # its last partial frame, and dropping it truncates
+                # trailing characters.  The reference never masks frames
+                # at all (it pads crops and decodes the full logit
+                # length); ceil is the tightest mask that keeps every
+                # frame the reference would have decoded from real ink.
                 valid = jnp.clip(
                     (widths + sub - 1) // sub, 0, logits.shape[1]
                 ).astype(jnp.int32)

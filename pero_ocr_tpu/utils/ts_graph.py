@@ -208,6 +208,18 @@ def _avg_pool2d(x, kernel, stride, padding, ceil_mode, count_include_pad,
         return summed / divisor_override
     if count_include_pad and not any(p[1] != p[0] for p in pads):
         return summed / (kernel[0] * kernel[1])
+    if count_include_pad:
+        # torch counts the symmetric (p, p) padding as real pixels and
+        # excludes ONLY the ceil-mode extra: count over a ones array
+        # grown by the symmetric pads, padding only the ceil extra.
+        extra = tuple((0, p[1] - p[0]) for p in pads)
+        ones = jnp.ones(
+            tuple(s + 2 * p[0] for s, p in zip(x.shape[2:], pads)), x.dtype
+        )
+        counts = lax.reduce_window(
+            ones, 0.0, lax.add, kernel, strides[2:], extra
+        )
+        return summed / counts[None, None]
     ones = jnp.ones(x.shape[2:], x.dtype)
     counts = lax.reduce_window(
         ones, 0.0, lax.add, kernel, strides[2:], tuple(pads)
@@ -216,7 +228,7 @@ def _avg_pool2d(x, kernel, stride, padding, ceil_mode, count_include_pad,
 
 
 def _upsample_nearest2d(x, output_size, scales):
-    import jax
+    import jax.numpy as jnp
 
     n, c, h, w = x.shape
     if output_size is not None:
@@ -225,10 +237,12 @@ def _upsample_nearest2d(x, output_size, scales):
         sh, sw = (scales, scales) if np.isscalar(scales) else scales
         oh, ow = int(h * sh), int(w * sw)
     if oh % h == 0 and ow % w == 0:
-        import jax.numpy as jnp
-
         return jnp.repeat(jnp.repeat(x, oh // h, axis=2), ow // w, axis=3)
-    return jax.image.resize(x, (n, c, oh, ow), method="nearest")
+    # torch nearest uses the asymmetric rule idx = floor(dst * in / out)
+    # (NOT half-pixel centers, which jax.image.resize would apply).
+    rows = (np.arange(oh) * h // oh).astype(np.int32)
+    cols = (np.arange(ow) * w // ow).astype(np.int32)
+    return jnp.take(jnp.take(x, rows, axis=2), cols, axis=3)
 
 
 def _upsample_bilinear2d(x, output_size, align_corners, scales):
@@ -299,7 +313,7 @@ def _layer_norm(x, normalized_shape, weight, bias, eps):
     return out
 
 
-def _lstm_cell_scan(xs, w_ih, w_hh, b, hidden, reverse):
+def _lstm_cell_scan(xs, w_ih, w_hh, b, hidden, reverse, h0=None, c0=None):
     """One direction of one LSTM layer over (T, B, C) inputs."""
     import jax.numpy as jnp
     from jax import lax
@@ -323,8 +337,11 @@ def _lstm_cell_scan(xs, w_ih, w_hh, b, hidden, reverse):
         return (h, c), h
 
     b_sz = xs.shape[1]
-    h0 = jnp.zeros((b_sz, hidden), xs.dtype)
-    (h_f, c_f), ys = lax.scan(step, (h0, h0), gates_x)
+    if h0 is None:
+        h0 = jnp.zeros((b_sz, hidden), xs.dtype)
+    if c0 is None:
+        c0 = jnp.zeros((b_sz, hidden), xs.dtype)
+    (h_f, c_f), ys = lax.scan(step, (h0, c0), gates_x)
     if reverse:
         ys = jnp.flip(ys, axis=t_axis)
     return ys, h_f, c_f
@@ -338,6 +355,10 @@ def _lstm(x, hx, flat_weights, has_biases, num_layers, dropout, train,
         x = jnp.swapaxes(x, 0, 1)  # (T, B, C)
     dirs = 2 if bidirectional else 1
     per_layer = (4 if has_biases else 2) * dirs
+    # torch hx is [h_0, c_0], each (num_layers*dirs, B, H); None == zeros.
+    h_init = c_init = None
+    if hx is not None:
+        h_init, c_init = hx[0], hx[1]
     h_outs, c_outs = [], []
     for layer in range(num_layers):
         base = layer * per_layer
@@ -351,8 +372,11 @@ def _lstm(x, hx, flat_weights, has_biases, num_layers, dropout, train,
             else:
                 bias = jnp.zeros((w_ih.shape[0],), x.dtype)
             hidden = w_hh.shape[1]
+            state = layer * dirs + d
             ys, h_f, c_f = _lstm_cell_scan(
-                x, w_ih, w_hh, bias, hidden, reverse=(d == 1)
+                x, w_ih, w_hh, bias, hidden, reverse=(d == 1),
+                h0=None if h_init is None else h_init[state],
+                c0=None if c_init is None else c_init[state],
             )
             outs.append(ys)
             h_outs.append(h_f)
@@ -381,6 +405,7 @@ def _gru(x, hx, flat_weights, has_biases, num_layers, dropout, train,
         for d in range(dirs):
             off = base + d * (4 if has_biases else 2)
             w_ih, w_hh = flat_weights[off], flat_weights[off + 1]
+            state = layer * dirs + d
             if has_biases:
                 b_ih, b_hh = flat_weights[off + 2], flat_weights[off + 3]
             else:
@@ -399,7 +424,11 @@ def _gru(x, hx, flat_weights, has_biases, num_layers, dropout, train,
                 h = (1 - z) * n + z * h
                 return h, h
 
-            h0 = jnp.zeros((xs.shape[1], hidden), x.dtype)
+            # torch hx is a (num_layers*dirs, B, H) tensor; None == zeros.
+            if hx is not None:
+                h0 = hx[state]
+            else:
+                h0 = jnp.zeros((xs.shape[1], hidden), x.dtype)
             h_f, ys = lax.scan(step, h0, gates_x)
             if d == 1:
                 ys = jnp.flip(ys, 0)
@@ -743,9 +772,11 @@ def _make_ops() -> Dict[str, Callable]:
         "aten::linear": lambda ins, node: (
             ins[0] @ ins[1].T + (ins[2] if ins[2] is not None else 0)
         ),
+        # torch.addmm(input, mat1, mat2, *, beta, alpha)
+        #   = beta*input + alpha*(mat1 @ mat2)
         "aten::addmm": lambda ins, node: (
-            ins[0] * (ins[4] if len(ins) > 4 else 1)
-            + (ins[3] if len(ins) > 3 else 1) * (ins[1] @ ins[2])
+            ins[0] * (ins[3] if len(ins) > 3 else 1)
+            + (ins[4] if len(ins) > 4 else 1) * (ins[1] @ ins[2])
         ),
         "aten::matmul": ew(jnp.matmul),
         "aten::bmm": ew(jnp.matmul),

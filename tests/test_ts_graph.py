@@ -184,6 +184,72 @@ class TestGraphInterpreter:
         np.testing.assert_allclose(ref_out.numpy(), np.asarray(out), atol=2e-5)
         np.testing.assert_allclose(ref_h.numpy(), np.asarray(h), atol=2e-5)
 
+    def test_addmm_beta_alpha(self):
+        """torch.addmm = beta*input + alpha*(mat1@mat2) — the scalar
+        order is load-bearing for any traced Linear with fused scaling
+        (advisor r3: operands were swapped)."""
+        class Net(tnn.Module):
+            def forward(self, inp, m1, m2):
+                return torch.addmm(inp, m1, m2, beta=3.0, alpha=10.0)
+
+        inp, m1, m2 = torch.rand(2, 4), torch.rand(2, 3), torch.rand(3, 4)
+        ts = torch.jit.trace(Net().eval(), (inp, m1, m2))
+        fn, params = ts_to_jax(ts)
+        ref = Net()(inp, m1, m2).numpy()
+        out = np.asarray(fn(params, inp.numpy(), m1.numpy(), m2.numpy()))
+        np.testing.assert_allclose(ref, out, atol=1e-5)
+
+    def test_nearest_upsample_non_multiple(self):
+        """torch nearest uses idx = floor(dst*in/out), not half-pixel
+        centers — diverges from jax.image.resize at non-integer ratios
+        (advisor r3)."""
+        m = tnn.Upsample(size=(5, 7), mode="nearest")
+        x = torch.arange(2 * 3 * 4, dtype=torch.float32).reshape(1, 2, 3, 4)
+        ts = torch.jit.trace(m.eval(), x)
+        fn, params = ts_to_jax(ts)
+        np.testing.assert_array_equal(
+            m(x).numpy(), np.asarray(fn(params, x.numpy()))
+        )
+
+    def test_lstm_gru_nonzero_initial_state(self):
+        """aten::lstm / aten::gru must honour a provided hx instead of
+        silently starting from zeros (advisor r3)."""
+        class Net(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.lstm = tnn.LSTM(4, 5, num_layers=2, bidirectional=True)
+                self.gru = tnn.GRU(10, 6)
+
+            def forward(self, x, h0, c0, g0):
+                y, _ = self.lstm(x, (h0, c0))
+                z, hg = self.gru(y, g0)
+                return z, hg
+
+        torch.manual_seed(7)
+        m = Net().eval()
+        x = torch.rand(9, 2, 4)
+        h0, c0 = torch.rand(4, 2, 5), torch.rand(4, 2, 5)
+        g0 = torch.rand(1, 2, 6)
+        ts = torch.jit.trace(m, (x, h0, c0, g0))
+        fn, params = ts_to_jax(ts)
+        with torch.no_grad():
+            ref_z, ref_h = m(x, h0, c0, g0)
+        z, hg = fn(params, x.numpy(), h0.numpy(), c0.numpy(), g0.numpy())
+        np.testing.assert_allclose(ref_z.numpy(), np.asarray(z), atol=2e-5)
+        np.testing.assert_allclose(ref_h.numpy(), np.asarray(hg), atol=2e-5)
+
+    def test_avgpool_count_include_pad_ceil(self):
+        """count_include_pad=True counts the symmetric padding but not
+        the ceil-mode extra (advisor r3)."""
+        m = tnn.AvgPool2d(3, stride=2, padding=1, ceil_mode=True,
+                          count_include_pad=True)
+        x = torch.rand(1, 2, 6, 8)
+        ts = torch.jit.trace(m.eval(), x)
+        fn, params = ts_to_jax(ts)
+        np.testing.assert_allclose(
+            m(x).numpy(), np.asarray(fn(params, x.numpy())), atol=1e-6
+        )
+
     def test_unsupported_op_reports_kind(self):
         class Weird(tnn.Module):
             def forward(self, x):
