@@ -89,9 +89,14 @@ def sorted_cn_paths(cn: List[Dict]):
 
     paths = [("", 1.0)]
     for slot in cn:
+        # Per-slot symbols in descending-probability order: the final
+        # sort is stable, so this fixes the tie order of equal-probability
+        # paths to match the reference's odometer enumeration
+        # (reference: pero_ocr/decoding/confusion_networks.py:87-129).
+        slot_items = sorted(slot.items(), key=lambda x: x[1], reverse=True)
         new_paths = []
         for prefix, prob in paths:
-            for sym, p in slot.items():
+            for sym, p in slot_items:
                 new_paths.append(
                     (prefix + sym if sym is not None else prefix, prob * p)
                 )

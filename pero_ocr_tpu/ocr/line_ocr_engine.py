@@ -254,9 +254,14 @@ def merge_transcriptions_and_logits(transcription_parts, logits_parts):
     result_logits = shrunk[0]
     for transcription, logits in zip(transcription_parts[1:], shrunk[1:]):
         overlap = find_best_overlap(result_transcription, transcription)
-        # Split the overlap between the two chunks.  (The reference keeps
-        # `overlap // 2` from BOTH sides, which duplicates one character for
-        # odd overlaps — reference: line_ocr_engine.py:190-191; fixed here.)
+        # Split the overlap: drop ceil(overlap/2) from the left chunk and
+        # floor(overlap/2) from the right — identical to the reference's
+        # `[:-overlap // 2]` for overlap > 0 (unary minus binds first, so
+        # that slice stop is -ceil(overlap/2); line_ocr_engine.py:190-191).
+        # DELIBERATE DIVERGENCE at overlap == 0: the reference's `[:-0//2]`
+        # == `[:0]` wipes the whole accumulated transcription when chunks
+        # share nothing; here the left chunk is kept.  Proven differentially
+        # in tests/test_reference_oracle.py::TestChunkMergeOracle.
         keep = len(result_transcription) - (overlap - overlap // 2)
         result_transcription = (
             result_transcription[:keep] + transcription[overlap // 2 :]

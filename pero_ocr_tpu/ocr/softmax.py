@@ -7,13 +7,13 @@ import numpy as np
 
 
 def softmax(x: np.ndarray, axis=None) -> np.ndarray:
-    """Softmax along `axis`; when axis is None, picks the only non-singleton
-    axis of 1-D/2-D inputs (the reference's autodetect behavior), else the
-    last axis."""
+    """Softmax along `axis`; when axis is None, picks the FIRST
+    non-singleton axis (the reference's autodetect rule,
+    softmax.py:23-25)."""
     x = np.asarray(x, dtype=np.float64)
     if axis is None:
         non_singleton = [i for i, s in enumerate(x.shape) if s > 1]
-        axis = non_singleton[-1] if non_singleton else -1
+        axis = non_singleton[0] if non_singleton else -1
     shifted = x - x.max(axis=axis, keepdims=True)
     e = np.exp(shifted)
     return e / e.sum(axis=axis, keepdims=True)
