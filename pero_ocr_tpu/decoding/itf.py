@@ -37,8 +37,27 @@ def get_ocr_charset(fn: str) -> List[str]:
         return json.load(f)["characters"]
 
 
+def _is_torch_lm_file(path: str) -> bool:
+    """Torch artifacts are zip archives (torch>=1.6 pickles, TorchScript)
+    or legacy pickle streams (0x80 protocol byte); flax msgpack
+    checkpoints are neither."""
+    import zipfile
+
+    if zipfile.is_zipfile(path):
+        return True
+    with open(path, "rb") as f:
+        return f.read(1) == b"\x80"
+
+
 def construct_lm(path: str, decoder_symbols, config_path: str = ""):
-    """Load a CharLM checkpoint + sidecar spec into a JAXLMWrapper."""
+    """Load a `[DECODER] LM` checkpoint + sidecar spec into a JAXLMWrapper.
+
+    Accepts either a native CharLM msgpack checkpoint or a torch LM file
+    (state dict / pickled module / TorchScript), matching the reference's
+    contract where the LM config key names a torch file loaded directly
+    (reference: pero_ocr/decoding/decoding_itf.py:27-46).  Torch files
+    are auto-converted at load through the same gate mapping as
+    scripts/convert_torch_lm.py."""
     import jax
     import jax.numpy as jnp
 
@@ -51,6 +70,32 @@ def construct_lm(path: str, decoder_symbols, config_path: str = ""):
         with open(spec_path, encoding="utf8") as f:
             spec_dict = json.load(f)
     else:
+        spec_dict = None
+
+    if os.path.exists(full_path) and _is_torch_lm_file(full_path):
+        from pero_ocr_tpu.utils.convert_torch import load_torch_lm_file
+
+        logger.info("Converting torch LM %s at load.", full_path)
+        variables, derived_spec = load_torch_lm_file(full_path)
+        if spec_dict:
+            derived_spec.update(
+                {k: v for k, v in spec_dict.items() if k == "vocab"}
+            )
+        spec_dict = derived_spec
+        spec = CharLMSpec(
+            vocab_size=spec_dict["vocab_size"],
+            embed_dim=spec_dict["embed_dim"],
+            hidden_dim=spec_dict["hidden_dim"],
+            num_layers=spec_dict["num_layers"],
+            cell_type=spec_dict["cell_type"],
+        )
+        model = CharLM(spec)
+        return JAXLMWrapper(
+            model, variables, decoder_symbols,
+            vocab_map=spec_dict.get("vocab"),
+        )
+
+    if spec_dict is None:
         logger.warning(
             "LM spec sidecar %s not found; using defaults sized to the "
             "decoder charset.", spec_path,
@@ -71,6 +116,13 @@ def construct_lm(path: str, decoder_symbols, config_path: str = ""):
     if os.path.exists(full_path):
         variables = load_variables(full_path, template)
     else:
+        from pero_ocr_tpu.utils.checkpoint import strict_loading_enabled
+
+        if strict_loading_enabled():
+            raise FileNotFoundError(
+                f"LM checkpoint {full_path} not found. Fix the [DECODER] "
+                "LM path, or pass --allow-random-weights."
+            )
         logger.warning(
             "LM checkpoint %s not found; using RANDOM weights.", full_path
         )

@@ -246,6 +246,113 @@ def convert_torch_transformer(
     return {"params": params}
 
 
+def detect_lm_prefixes(state_dict: Dict) -> Dict[str, str]:
+    """Auto-detect the (embed, lstm, head) attribute prefixes of a torch
+    char-RNN LM state dict.
+
+    The recurrent stack is unambiguous (``<p>.weight_ih_l0``).  The head
+    is the 2-D ``.weight`` whose input dim equals the recurrent hidden
+    size; the embedding is the 2-D ``.weight`` whose output dim equals
+    the recurrent input size.  Covers torch conventions incl. brnolm's
+    ``model``/``decoder`` naming (reference contract:
+    pero_ocr/decoding/decoding_itf.py:27-46 torch.loads the LM file
+    directly)."""
+    rnn_prefix = None
+    for key in state_dict:
+        if key.endswith(".weight_ih_l0"):
+            rnn_prefix = key[: -len(".weight_ih_l0")]
+            break
+    if rnn_prefix is None:
+        raise ValueError(
+            "no recurrent stack (*.weight_ih_l0) in the LM state dict; "
+            f"keys: {sorted(state_dict)[:10]}"
+        )
+    w_ih = _np(state_dict[f"{rnn_prefix}.weight_ih_l0"])
+    w_hh = _np(state_dict[f"{rnn_prefix}.weight_hh_l0"])
+    in_dim, hidden = w_ih.shape[1], w_hh.shape[1]
+    candidates = []  # (prefix, shape, has_bias) of 2-D .weight tensors
+    for key, value in state_dict.items():
+        if not key.endswith(".weight") or key.startswith(rnn_prefix + "."):
+            continue
+        arr = _np(value)
+        if arr.ndim != 2:
+            continue
+        prefix = key[: -len(".weight")]
+        candidates.append((prefix, arr.shape, prefix + ".bias" in state_dict))
+    embed_prefix = head_prefix = None
+    for prefix, shape, has_bias in candidates:
+        # nn.Embedding has no bias; nn.Linear heads usually do — use that
+        # first, since embed_dim == hidden makes the shapes ambiguous.
+        if shape[1] == hidden and has_bias and head_prefix is None:
+            head_prefix = prefix
+        elif shape[1] == in_dim and not has_bias and embed_prefix is None:
+            embed_prefix = prefix
+    for prefix, shape, _ in candidates:
+        if prefix in (embed_prefix, head_prefix):
+            continue
+        if embed_prefix is None and shape[1] == in_dim:
+            embed_prefix = prefix
+        elif head_prefix is None and shape[1] == hidden:
+            head_prefix = prefix
+    if embed_prefix is None or head_prefix is None:
+        raise ValueError(
+            "could not identify embedding/head Linear in the LM state "
+            f"dict (rnn={rnn_prefix}, in={in_dim}, hidden={hidden})"
+        )
+    return {
+        "embed_prefix": embed_prefix,
+        "lstm_prefix": rnn_prefix,
+        "head_prefix": head_prefix,
+    }
+
+
+def lm_spec_from_variables(variables: Dict) -> Dict:
+    """Derive the CharLM sidecar spec dict from converted flax variables
+    (shared by scripts/convert_torch_lm.py and the [DECODER] LM
+    auto-conversion in decoding/itf.py)."""
+    params = variables["params"]
+    vocab_size, embed_dim = params["embed"]["embedding"].shape
+    cell0 = params["cells_0"]
+    cell_type = "lstm" if "hi" in cell0 else "gru"
+    hidden_dim = cell0["hi" if cell_type == "lstm" else "hr"][
+        "kernel"
+    ].shape[0]
+    num_layers = sum(1 for k in params if k.startswith("cells_"))
+    return {
+        "vocab_size": int(vocab_size),
+        "embed_dim": int(embed_dim),
+        "hidden_dim": int(hidden_dim),
+        "num_layers": int(num_layers),
+        "cell_type": cell_type,
+    }
+
+
+def load_torch_lm_file(path: str):
+    """Load a torch LM artifact (state dict, pickled module, or
+    TorchScript) and convert to (CharLM flax variables, sidecar spec)
+    with auto-detected prefixes."""
+    import torch
+
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=False)
+    except Exception:
+        obj = torch.jit.load(path, map_location="cpu")
+    if hasattr(obj, "state_dict"):
+        state_dict = obj.state_dict()
+    else:
+        state_dict = obj
+    if isinstance(state_dict, dict):
+        # Unwrap common {-checkpoint-key-: state_dict} containers.
+        for container_key in ("state_dict", "model_state_dict", "model"):
+            inner = state_dict.get(container_key)
+            if isinstance(inner, dict) and inner:
+                state_dict = inner
+                break
+    prefixes = detect_lm_prefixes(state_dict)
+    variables = convert_torch_lm(state_dict, **prefixes)
+    return variables, lm_spec_from_variables(variables)
+
+
 def convert_torch_lm(
     state_dict: Dict,
     embed_prefix: str = "embed",

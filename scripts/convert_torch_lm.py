@@ -36,8 +36,10 @@ def main():
                      weights_only=False)
     state_dict = obj.state_dict() if hasattr(obj, "state_dict") else obj
 
-    from pero_ocr_tpu.models.charlm import CharLM, CharLMSpec
-    from pero_ocr_tpu.utils.convert_torch import convert_torch_lm
+    from pero_ocr_tpu.utils.convert_torch import (
+        convert_torch_lm,
+        lm_spec_from_variables,
+    )
     from pero_ocr_tpu.utils.checkpoint import save_variables
 
     variables = convert_torch_lm(
@@ -46,23 +48,8 @@ def main():
         lstm_prefix=args.lstm_prefix,
         head_prefix=args.head_prefix,
     )
-    params = variables["params"]
-    vocab_size, embed_dim = params["embed"]["embedding"].shape
-    cell0 = params["cells_0"]
-    cell_type = "lstm" if "hi" in cell0 else "gru"
-    hidden_dim = cell0["hi" if cell_type == "lstm" else "hr"][
-        "kernel"
-    ].shape[0]
-    num_layers = sum(1 for k in params if k.startswith("cells_"))
-
+    sidecar = lm_spec_from_variables(variables)
     save_variables(variables, args.output)
-    sidecar = {
-        "vocab_size": int(vocab_size),
-        "embed_dim": int(embed_dim),
-        "hidden_dim": int(hidden_dim),
-        "num_layers": int(num_layers),
-        "cell_type": cell_type,
-    }
     if args.vocab_json:
         with open(args.vocab_json, encoding="utf8") as f:
             chars = json.load(f)
@@ -70,8 +57,9 @@ def main():
     with open(args.output + ".json", "w", encoding="utf8") as f:
         json.dump(sidecar, f)
     print(
-        f"converted: vocab={vocab_size} embed={embed_dim} "
-        f"hidden={hidden_dim} layers={num_layers} -> {args.output}"
+        "converted: vocab={vocab_size} embed={embed_dim} "
+        "hidden={hidden_dim} layers={num_layers} -> ".format(**sidecar)
+        + args.output
     )
 
 

@@ -110,6 +110,11 @@ def parse_arguments():
                              "elastic re-runs).")
     parser.add_argument("--shard-count", type=int, default=1,
                         help="Total hosts sharding this folder.")
+    parser.add_argument("--allow-random-weights", action="store_true",
+                        help="Run with RANDOM weights when a configured "
+                             "checkpoint is missing (test/CI use). The "
+                             "default is a hard error, matching the "
+                             "reference's torch.jit.load behavior.")
     return parser.parse_args()
 
 
@@ -357,6 +362,14 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+
+    if not args.allow_random_weights:
+        # Production default: a typo'd checkpoint path must fail loudly,
+        # never silently produce a garbage-text run (VERDICT r3 weak #4;
+        # reference: torch_parsenet.py:15 raises from torch.jit.load).
+        from pero_ocr_tpu.utils.checkpoint import set_strict_loading
+
+        set_strict_loading(True)
 
     page_parser = PageParser(config, config_path=os.path.dirname(config_path))
 

@@ -38,6 +38,9 @@ def parse_arguments():
     parser.add_argument("--representative-embed-ids", type=str,
                         help="Comma-separated; skips clustering.")
     parser.add_argument("--out", type=str)
+    parser.add_argument("--allow-random-weights", action="store_true",
+                        help="Run with RANDOM weights when a configured "
+                             "checkpoint is missing (test/CI use).")
     return parser.parse_args()
 
 
@@ -121,6 +124,11 @@ def main():
     args = parse_arguments()
     config = configparser.ConfigParser()
     config.read(args.config)
+
+    if not args.allow_random_weights:
+        from pero_ocr_tpu.utils.checkpoint import set_strict_loading
+
+        set_strict_loading(True)
 
     page_parser = PageParser(config, config_path=os.path.dirname(args.config))
     engine = page_parser.ocr.ocr_engine

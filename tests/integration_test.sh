@@ -89,7 +89,7 @@ EOF
 # ----------------------------------------------------------------------
 # 2. Full CLI run (CPU backend; random weights)
 # ----------------------------------------------------------------------
-python "$REPO/scripts/parse_folder.py" -c pipeline.ini -i images --device cpu \
+python "$REPO/scripts/parse_folder.py" -c pipeline.ini -i images --device cpu --allow-random-weights \
     --output-xml-path out_xml --output-logit-path out_logits \
     --output-render-path out_render --output-line-path out_lines \
     --output-alto-path out_alto \
@@ -124,7 +124,7 @@ EOF
 # 4. Self-consistency: skip-processed resume must process 0 pages;
 #    CER of outputs vs themselves must be 0.
 # ----------------------------------------------------------------------
-python "$REPO/scripts/parse_folder.py" -c pipeline.ini -i images --device cpu \
+python "$REPO/scripts/parse_folder.py" -c pipeline.ini -i images --device cpu --allow-random-weights \
     --output-xml-path out_xml --output-logit-path out_logits \
     --output-render-path out_render -s 2>&1 | tee resume.log
 if grep -q "Processing page" resume.log; then
@@ -200,7 +200,7 @@ LINE_HEIGHT = 16
 OCR_JSON = ocr.json
 METHOD = pytorch_ocr
 EOF
-python "$REPO/scripts/parse_folder.py" -c reocr.ini -i images --device cpu \
+python "$REPO/scripts/parse_folder.py" -c reocr.ini -i images --device cpu --allow-random-weights \
     --fast-pipeline --transport crops \
     --input-xml-path out_xml --output-xml-path out_reocr 2>&1 \
     | tee reocr.log
@@ -307,7 +307,7 @@ LINE_HEIGHT = 16
 [OCR]
 OCR_JSON = ocr.json
 EOF
-python "$REPO/scripts/parse_folder.py" -c fast.ini -i images --device cpu \
+python "$REPO/scripts/parse_folder.py" -c fast.ini -i images --device cpu --allow-random-weights \
     --fast-pipeline --output-xml-path out_fast_xml
 [ "$(ls out_fast_xml | wc -l)" -eq 3 ] || { echo "FAIL: fast XML missing"; exit 1; }
 python - <<'EOF'
@@ -327,7 +327,7 @@ EOF
 #     crops): stage B downloads top-k sparse logits, crops re-warp on
 #     host — the config-5 shape at fast-path throughput (VERDICT r2 #3).
 # ----------------------------------------------------------------------
-python "$REPO/scripts/parse_folder.py" -c fast.ini -i images --device cpu \
+python "$REPO/scripts/parse_folder.py" -c fast.ini -i images --device cpu --allow-random-weights \
     --fast-pipeline --transport crops \
     --output-xml-path out_fast_full_xml \
     --output-alto-path out_fast_alto \
@@ -364,7 +364,7 @@ EOF
 # 5b2. Fast pipeline sharded over a 2-virtual-device (dp,) mesh
 # ----------------------------------------------------------------------
 XLA_FLAGS="--xla_force_host_platform_device_count=2" \
-python "$REPO/scripts/parse_folder.py" -c fast.ini -i images --device cpu \
+python "$REPO/scripts/parse_folder.py" -c fast.ini -i images --device cpu --allow-random-weights \
     --fast-pipeline --dp 2 --output-xml-path out_fast_dp_xml
 [ "$(ls out_fast_dp_xml | wc -l)" -eq 3 ] || { echo "FAIL: dp XML missing"; exit 1; }
 echo "== fast-pipeline dp=2 mesh OK"
@@ -372,7 +372,7 @@ echo "== fast-pipeline dp=2 mesh OK"
 # ----------------------------------------------------------------------
 # 5c. 2-bit print-mode crop transport (plain rounding; crops only)
 # ----------------------------------------------------------------------
-python "$REPO/scripts/parse_folder.py" -c fast.ini -i images --device cpu \
+python "$REPO/scripts/parse_folder.py" -c fast.ini -i images --device cpu --allow-random-weights \
     --fast-pipeline --transport crops --transport-bits 2 \
     --output-xml-path out_fast_2bit_xml
 [ "$(ls out_fast_2bit_xml | wc -l)" -eq 3 ] || { echo "FAIL: 2-bit XML missing"; exit 1; }

@@ -108,6 +108,88 @@ class TestLMConversion:
         assert len(bag) >= 1
 
 
+class TestTorchLMAutoConversion:
+    """`[DECODER] LM` accepts a torch LM file directly — auto-converted
+    at load with auto-detected prefixes, so reference configs run
+    unedited (reference contract: pero_ocr/decoding/decoding_itf.py:27-46).
+    Decodes must be bit-equal to the offline scripts/convert_torch_lm.py
+    route."""
+
+    def _decoder_for(self, lm_path, tmp_path):
+        import configparser
+
+        from pero_ocr_tpu.decoding import itf
+
+        config = configparser.ConfigParser()
+        config["DECODER"] = {
+            "TYPE": "FAST-LOG-RAW", "BEAM_SIZE": "3",
+            "LM_SCALE": "0.8", "LM": str(lm_path),
+        }
+        return itf.decoder_factory(config["DECODER"], list("abcdef"))
+
+    @pytest.mark.parametrize("save_as", ["state_dict", "module"])
+    def test_torch_lm_in_decoder_config(self, tmp_path, save_as):
+        from pero_ocr_tpu.parallel.train import export_lm_checkpoint
+        from pero_ocr_tpu.utils.convert_torch import load_torch_lm_file
+
+        torch.manual_seed(3)
+        tm = TorchLM(7, 4, 8, 2).eval()
+        torch_path = tmp_path / "lm.pt"
+        torch.save(tm.state_dict() if save_as == "state_dict" else tm,
+                   str(torch_path))
+
+        # Offline route: explicit conversion + export.
+        variables, spec_dict = load_torch_lm_file(str(torch_path))
+        spec = CharLMSpec(**{k: spec_dict[k] for k in (
+            "vocab_size", "embed_dim", "hidden_dim", "num_layers",
+            "cell_type")})
+        offline_path = tmp_path / "offline.lm"
+        export_lm_checkpoint(
+            CharLM(spec),
+            jax.tree_util.tree_map(jnp.asarray, variables),
+            str(offline_path),
+        )
+
+        dec_auto = self._decoder_for(torch_path, tmp_path)
+        dec_offline = self._decoder_for(offline_path, tmp_path)
+
+        rng = np.random.default_rng(5)
+        raw = rng.normal(size=(12, 7)) * 3
+        logits = raw - np.log(np.exp(raw).sum(axis=1, keepdims=True))
+        bag_a = dec_auto(logits)
+        bag_b = dec_offline(logits)
+        items_a = [(h.transcript, h.vis_sc, h.lm_sc) for h in bag_a]
+        items_b = [(h.transcript, h.vis_sc, h.lm_sc) for h in bag_b]
+        assert [i[0] for i in items_a] == [i[0] for i in items_b]
+        np.testing.assert_allclose(
+            [i[1] for i in items_a], [i[1] for i in items_b], atol=1e-9
+        )
+        np.testing.assert_allclose(
+            [i[2] for i in items_a], [i[2] for i in items_b], atol=1e-9
+        )
+
+    def test_prefix_autodetection_brnolm_style_names(self):
+        """brnolm-style attribute names (model/decoder) detect cleanly
+        even when embed_dim == hidden_dim (shape-ambiguous: the
+        bias-less Embedding vs biased Linear tiebreak)."""
+        from pero_ocr_tpu.utils.convert_torch import detect_lm_prefixes
+
+        class BrnoStyle(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.emb = torch.nn.Embedding(9, 8)
+                self.model = torch.nn.LSTM(8, 8, num_layers=1)
+                self.decoder = torch.nn.Linear(8, 9)
+
+        torch.manual_seed(4)
+        prefixes = detect_lm_prefixes(BrnoStyle().state_dict())
+        assert prefixes == {
+            "embed_prefix": "emb",
+            "lstm_prefix": "model",
+            "head_prefix": "decoder",
+        }
+
+
 class TestPrimitiveConversions:
     def test_linear(self):
         torch.manual_seed(0)
