@@ -114,3 +114,91 @@ class TestMerger:
         data = out_path.read_bytes()
         assert data.startswith(b"%PDF")
         assert b"/DCTDecode" in data
+
+
+class TestPDFTextRoundTrip:
+    """Reader-side proof of searchability (VERDICT r3 item 7): parse the
+    produced PDF's content streams + ToUnicode CMap with an independent
+    mini-reader and recover the exact transcriptions and placement boxes.
+    Reference capability: pero_ocr/document_ocr/pdf_production.py:107-141
+    (render-mode-3 text under the page image)."""
+
+    @staticmethod
+    def _streams(pdf: bytes):
+        """All object streams, Flate-decompressed when tagged."""
+        import re
+        import zlib
+
+        out = []
+        for m in re.finditer(
+            rb"<<(.*?)>>\s*stream\r?\n(.*?)\r?\nendstream", pdf, re.DOTALL
+        ):
+            head, data = m.group(1), m.group(2)
+            if b"FlateDecode" in head:
+                data = zlib.decompress(data)
+            out.append(data)
+        return out
+
+    @classmethod
+    def _extract_text_layer(cls, pdf: bytes):
+        """Recover [(text, x, y_baseline_pdf, size)] via the ToUnicode
+        CMap, independently of the writer's font tables."""
+        import re
+
+        gid_to_cp = {}
+        content_streams = []
+        for data in cls._streams(pdf):
+            if b"beginbfchar" in data:
+                for g, c in re.findall(
+                    rb"<([0-9A-Fa-f]{4})>\s*<([0-9A-Fa-f]{4})>", data
+                ):
+                    gid_to_cp[int(g, 16)] = int(c, 16)
+            if b"BT" in data and b"Tj" in data:
+                content_streams.append(data)
+        assert gid_to_cp, "no ToUnicode CMap found"
+        assert content_streams, "no text content stream found"
+
+        placements = []
+        pat = re.compile(
+            rb"/F1 ([\d.]+) Tf [\d.]+ Tz "
+            rb"1 0 0 1 ([\d.-]+) ([\d.-]+) Tm <([0-9A-Fa-f]*)> Tj"
+        )
+        for data in content_streams:
+            assert b"3 Tr" in data  # invisible render mode
+            for m in pat.finditer(data):
+                size = float(m.group(1))
+                x, y = float(m.group(2)), float(m.group(3))
+                hexes = m.group(4).decode("ascii")
+                gids = [int(hexes[i:i + 4], 16)
+                        for i in range(0, len(hexes), 4)]
+                text = "".join(chr(gid_to_cp[g]) for g in gids)
+                placements.append((text, x, y, size))
+        return placements
+
+    def test_text_and_boxes_round_trip(self):
+        img = np.full((300, 500, 3), 240, np.uint8)
+        lines = [
+            TextLinePlacement(30, 70, 270, 20, "Hello world"),
+            TextLinePlacement(25, 140, 300, 18, "příliš žluťoučký kůň"),
+            TextLinePlacement(40, 210, 200, 16, "Größe & façade №5"),
+        ]
+        writer = SearchablePDFWriter()
+        writer.add_page(img, lines)
+        pdf = writer.tobytes()
+
+        placements = self._extract_text_layer(pdf)
+        assert [p[0] for p in placements] == [l.text for l in lines]
+        h = img.shape[0]
+        for (text, x, y, size), line in zip(placements, lines):
+            assert x == pytest.approx(line.x, abs=0.51)
+            assert y == pytest.approx(h - line.baseline_y, abs=0.51)
+            assert size == pytest.approx(max(line.height, 1.0), abs=0.51)
+
+    def test_multipage_round_trip(self):
+        imgs = [np.full((100, 200, 3), 240, np.uint8) for _ in range(2)]
+        writer = SearchablePDFWriter()
+        writer.add_page(imgs[0], [TextLinePlacement(10, 40, 100, 12, "page one")])
+        writer.add_page(imgs[1], [TextLinePlacement(12, 60, 120, 14, "stránka dvě")])
+        pdf = writer.tobytes()
+        placements = self._extract_text_layer(pdf)
+        assert [p[0] for p in placements] == ["page one", "stránka dvě"]
