@@ -43,6 +43,95 @@ from pero_ocr_tpu.core.layout import PageLayout, RegionLayout, TextLine
 from pero_ocr_tpu.layout_engines import helpers
 
 
+def assemble_page_layout(result, page_id, page_size, characters,
+                         n_emit=None, line_hook=None):
+    """Build the full PageLayout for one :class:`PageResult`: TextLines
+    (outline polygons, transcriptions, confidences) grouped into one
+    region per paragraph cluster with alpha-shape region outlines — the
+    shared consumer behind :meth:`FastPagePipeline.process_pages` and
+    the benchmark's full-semantics loop (BASELINE.json config-2:
+    detection + recognition + layout assembly, reference shape
+    pero_ocr/document_ocr/page_parser.py:515-531 ->
+    user_scripts/parse_folder.py:175).
+
+    ``line_hook(line, i)`` runs after each line's standard fields are
+    set (crop/logits attachment for the document layer)."""
+    h, w = page_size
+    layout = PageLayout(id=page_id, page_size=page_size)
+    n_emit = len(characters) if n_emit is None else n_emit
+
+    lines = []
+    for i, (baseline, heights) in enumerate(
+        zip(result.baselines, result.heights)
+    ):
+        line = TextLine(
+            index=i,
+            baseline=np.asarray(baseline),
+            heights=list(heights),
+            # The pipeline's host worker already built the outline for
+            # paragraph clustering; reuse it.
+            polygon=(
+                result.textlines[i]
+                if result.textlines is not None
+                else helpers.baseline_to_textline(
+                    np.asarray(baseline), heights
+                )
+            ),
+        )
+        if result.labels is not None and i < result.labels.shape[0]:
+            n = int(result.label_lengths[i])
+            lab = result.labels[i, :n]
+            lab = lab[(lab >= 0) & (lab < n_emit)]
+            line.transcription = "".join(
+                map(characters.__getitem__, lab.tolist())
+            )
+            if result.confidences is not None:
+                line.transcription_confidence = float(
+                    result.confidences[i]
+                )
+        else:
+            line.transcription = ""
+        if line_hook is not None:
+            line_hook(line, i)
+        lines.append(line)
+
+    # One region per paragraph cluster (the reference's
+    # separator-penalty clustering runs in the pipeline's host
+    # worker); whole-page fallback when clustering is off.
+    clusters = result.clusters
+    if clusters is None:
+        clusters = [0] * len(lines)
+    n_regions = (max(clusters) + 1) if clusters else 1
+    for r in range(n_regions):
+        members = [ln for ln, c in zip(lines, clusters) if c == r]
+        if not members and n_regions > 1:
+            continue
+        if members:
+            try:
+                # Same alpha-shape outline the stage-by-stage engine
+                # uses (helpers.region_from_textlines).
+                poly = helpers.region_from_textlines(
+                    [ln.polygon for ln in members]
+                )
+                if len(poly) < 3:
+                    raise ValueError("degenerate region")
+            except Exception:
+                pts = np.concatenate([ln.polygon for ln in members])
+                x0, y0 = pts.min(axis=0)
+                x1, y1 = pts.max(axis=0)
+                poly = np.asarray(
+                    [[x0, y0], [x1, y0], [x1, y1], [x0, y1]]
+                )
+        else:
+            poly = np.asarray([[0, 0], [w, 0], [w, h], [0, h]])
+        region = RegionLayout(f"r{r + 1}", poly)
+        for j, ln in enumerate(members):
+            ln.id = f"r{r + 1}-l{j + 1:03d}"
+            region.lines.append(ln)
+        layout.regions.append(region)
+    return layout
+
+
 class FastPagePipeline:
     """Build from an existing PageParser's engines."""
 
@@ -282,69 +371,30 @@ class FastPagePipeline:
         pages = list(pages)
         for result in self.pipeline.run(pages, page_batch=self.page_batch):
             page = pages[result.page_index]
-            layout = PageLayout(
-                id=page_ids[result.page_index],
-                page_size=(page.shape[0], page.shape[1]),
-            )
-            h, w = page.shape[:2]
             gray = self.pipeline._gray(page) if self.want_crops else None
 
-            lines = []
-            for i, (baseline, heights) in enumerate(
-                zip(result.baselines, result.heights)
-            ):
-                line = TextLine(
-                    index=i,
-                    baseline=np.asarray(baseline),
-                    heights=list(heights),
-                    polygon=helpers.baseline_to_textline(
-                        np.asarray(baseline), heights
-                    ),
-                )
+            def line_hook(line, i):
                 # Crop warp (3-channel for the crop-output/LMDB
-                # writers) + transcription + device-computed confidence
-                # (the reference's get_prob measure for CTC, min
-                # chosen-token probability for transformers) + optional
-                # sparse logits.
-                self._attach_line_result(line, result, i, gray)
-                lines.append(line)
+                # writers) + optional sparse logits; transcription and
+                # confidence come from the shared assembler.
+                if gray is not None:
+                    crop = self.pipeline._host_crop_line(
+                        gray, np.asarray(line.baseline, float),
+                        line.heights,
+                    )
+                    line.crop = np.repeat(crop[:, :, None], 3, axis=2)
+                if (
+                    result.logits_vals is not None
+                    and result.labels is not None
+                    and i < result.labels.shape[0]
+                ):
+                    self._attach_logits(line, result, i)
 
-            # One region per paragraph cluster (the reference's
-            # separator-penalty clustering runs in the pipeline's host
-            # worker); whole-page fallback when clustering is off.
-            clusters = result.clusters
-            if clusters is None:
-                clusters = [0] * len(lines)
-            n_regions = (max(clusters) + 1) if clusters else 1
-            for r in range(n_regions):
-                members = [
-                    ln for ln, c in zip(lines, clusters) if c == r
-                ]
-                if not members and n_regions > 1:
-                    continue
-                if members:
-                    try:
-                        # Same alpha-shape outline the stage-by-stage
-                        # engine uses (helpers.region_from_textlines).
-                        poly = helpers.region_from_textlines(
-                            [ln.polygon for ln in members]
-                        )
-                        if len(poly) < 3:
-                            raise ValueError("degenerate region")
-                    except Exception:
-                        pts = np.concatenate(
-                            [ln.polygon for ln in members]
-                        )
-                        x0, y0 = pts.min(axis=0)
-                        x1, y1 = pts.max(axis=0)
-                        poly = np.asarray(
-                            [[x0, y0], [x1, y0], [x1, y1], [x0, y1]]
-                        )
-                else:
-                    poly = np.asarray([[0, 0], [w, 0], [w, h], [0, h]])
-                region = RegionLayout(f"r{r + 1}", poly)
-                for j, ln in enumerate(members):
-                    ln.id = f"r{r + 1}-l{j + 1:03d}"
-                    region.lines.append(ln)
-                layout.regions.append(region)
-            yield layout
+            yield assemble_page_layout(
+                result,
+                page_ids[result.page_index],
+                (page.shape[0], page.shape[1]),
+                self.characters,
+                n_emit=self._n_emit,
+                line_hook=line_hook,
+            )

@@ -120,12 +120,27 @@ def region_from_textlines(region_textlines) -> np.ndarray:
     # the reference keeps circumradius <= max_spacing.
     poly = geometry.alpha_shape(points, alpha=1.0 / max(max_spacing, 1e-6))
 
-    # Ensure every textline is inside; union in the stragglers.
+    # Ensure every textline is inside; union in the stragglers.  The
+    # containment test counts boundary contact as inside (shapely
+    # `contains` semantics: only exterior points disqualify) — the
+    # alpha shape's exact boundary passes THROUGH input points, so a
+    # strict ray-cast would flag every line as a straggler.  One
+    # batched test over the already-concatenated point cloud; per-line
+    # attribution via offsets.
     missing = []
-    for textline in region_textlines:
-        inside = geometry.points_in_polygon(np.asarray(textline), poly)
-        if not inside.all():
-            missing.append(np.asarray(textline))
+    inside = geometry.points_in_polygon(points, poly)
+    if not inside.all():
+        exterior = ~inside
+        exterior[exterior] = (
+            geometry.points_to_polygon_dist(points[exterior], poly) > 1e-6
+        )
+        if exterior.any():
+            off = 0
+            for textline in region_textlines:
+                t = np.asarray(textline, dtype=np.float64)
+                if exterior[off : off + len(t)].any():
+                    missing.append(t)
+                off += len(t)
     if missing:
         all_pts = np.concatenate([poly] + missing, axis=0)
         poly = geometry.convex_hull(all_pts)

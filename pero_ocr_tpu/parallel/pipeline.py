@@ -60,6 +60,7 @@ from pero_ocr_tpu.core import line_geometry
 from pero_ocr_tpu.layout_engines.cnn_engine import _postprocess_maps
 from pero_ocr_tpu.ops import ctc as ctc_ops
 from pero_ocr_tpu.ops import warp as warp_ops
+from pero_ocr_tpu.utils.timing import stage_timer
 
 
 @dataclasses.dataclass
@@ -78,6 +79,11 @@ class PageResult:
     # (reference: pero_ocr/ocr_engine/line_ocr_engine.py:168-172).
     logits_vals: Optional[np.ndarray] = None
     logits_idx: Optional[np.ndarray] = None
+    # Textline outline polygons (one per line), built once in the host
+    # worker where paragraph clustering already needs them — consumers
+    # (fast_pipeline PageLayout assembly) reuse instead of recomputing.
+    # None when clustering is off (classical overrides).
+    textlines: Optional[List[np.ndarray]] = None
 
 
 class TPUPagePipeline:
@@ -1042,7 +1048,7 @@ class TPUPagePipeline:
         curved = []      # (flat index, (Hc, w) crop)
         total = 0
         widths_all = []
-        for slot, (b_list, h_list, _) in enumerate(page_lines):
+        for slot, (b_list, h_list, *_) in enumerate(page_lines):
             if not b_list:
                 widths_all.append(None)
                 continue
@@ -1236,15 +1242,18 @@ class TPUPagePipeline:
     #                            compute).  End-to-end throughput ~= the
     #                            floor means the link is saturated and
     #                            device compute is fully hidden.
-    def _one_batch_payload(self, pages, lines_override, page_batch):
+    def _one_batch_payload(self, pages, lines_override, page_batch,
+                           ds=None):
         """Build batch 0's REAL device payloads (small pages + crop
-        payload) exactly as _run_crops ships them."""
+        payload) exactly as _run_crops ships them.  ``ds`` pins the
+        canvas scale (honest-loop probes pass the sticky adapted
+        downsample; None = the configured first-pass scale)."""
         if self.transport != "crops":
             raise ValueError("instrumentation requires transport='crops'")
         ids = list(range(min(page_batch, len(pages))))
         padded = ids + [ids[-1]] * (page_batch - len(ids))
         grays = self._stack_grays(self._gray(pages[i]) for i in padded)
-        small = np.stack([self._canvas(g) for g in grays])
+        small = np.stack([self._canvas(g, ds) for g in grays])
         small = self._pack_canvas(small)
         small_dev = jnp.asarray(small)
         if lines_override is None:
@@ -1257,7 +1266,7 @@ class TPUPagePipeline:
         else:
             masks = None
         page_lines, max_n, n_slot = self._batch_lines(
-            pages, ids, lines_override, masks
+            pages, ids, lines_override, masks, ds
         )
         if self.trim_crops:
             payload, _ = self._build_strip(
@@ -1279,7 +1288,7 @@ class TPUPagePipeline:
                 np.uint8,
             )
             widths_flat = np.zeros(page_batch * n_slot, np.int32)
-            for slot, (b_list, h_list, _) in enumerate(page_lines):
+            for slot, (b_list, h_list, *_) in enumerate(page_lines):
                 if b_list:
                     crop_stack[slot], w = self._host_crops(
                         grays[slot], b_list, h_list, n_slot
@@ -1312,7 +1321,7 @@ class TPUPagePipeline:
 
     def measure_device_ms(
         self, pages, lines_override=None, page_batch: int = 4,
-        k: int = 8, reps: int = 3,
+        k: int = 8, reps: int = 3, ds=None,
     ) -> float:
         """Device compute of the combined per-batch program in ms/batch,
         link-weather independent: payloads upload ONCE, then K chained
@@ -1323,7 +1332,7 @@ class TPUPagePipeline:
         import time
 
         small, payload = self._one_batch_payload(
-            pages, lines_override, page_batch
+            pages, lines_override, page_batch, ds
         )
         small_dev = jnp.asarray(small)
         payload_dev = tuple(jnp.asarray(p) for p in payload)
@@ -1348,7 +1357,7 @@ class TPUPagePipeline:
 
     def measure_transport_floor(
         self, pages, lines_override=None, page_batch: int = 4,
-        reps: int = 6, mask_downloads: bool = True,
+        reps: int = 6, mask_downloads: bool = True, ds=None,
     ) -> float:
         """Pages/s ceiling set by the link alone: move exactly this
         pipeline's per-batch bytes (real payloads up, arrays with the
@@ -1362,7 +1371,7 @@ class TPUPagePipeline:
         import time
 
         small, payload = self._one_batch_payload(
-            pages, lines_override, page_batch
+            pages, lines_override, page_batch, ds
         )
         # Real output shapes/dtypes from one true combined dispatch.
         outs = self._combined_dispatch_once(
@@ -1612,9 +1621,10 @@ class TPUPagePipeline:
                 else:
                     b_list, h_list = lines_override(pages[i])
             elif arts is not None:
-                got = self._lines_from_packed(
-                    arts.packed[slot], arts.heights_q[slot], ds
-                )
+                with stage_timer("pipeline/cc_parse"):
+                    got = self._lines_from_packed(
+                        arts.packed[slot], arts.heights_q[slot], ds
+                    )
                 if got is None:
                     # Native kernel unavailable: fall back to the
                     # unpacked python path for the rest of the batch.
@@ -1641,16 +1651,16 @@ class TPUPagePipeline:
             # classical lines_override matches the reference configs
             # that carry no separator clustering (and on a 1-core host
             # every worker millisecond competes with the main thread).
-            clusters = (
+            clusters, t_list = (
                 self._cluster_lines(
                     b_list, h_list,
                     sep_maps[slot] if sep_maps is not None else None, ds,
                     sep_pool,
                 )
-                if lines_override is None else None
+                if lines_override is None else (None, None)
             )
-            page_lines.append((b_list, h_list, clusters))
-        max_n = max(len(b) for b, _, _ in page_lines)
+            page_lines.append((b_list, h_list, clusters, t_list))
+        max_n = max(len(b) for b, _, _, _ in page_lines)
         n_slot = max(
             self.line_slot,
             int(np.ceil(max_n / self.line_slot)) * self.line_slot,
@@ -1662,20 +1672,24 @@ class TPUPagePipeline:
         clustering (reference: cnn_layout_engine.py:330-372), running in
         the host worker thread on the transported separator map
         (``sep_pool`` > 1: sep_map stays at the pooled transport
-        resolution and the penalties index it directly)."""
+        resolution and the penalties index it directly).  Returns
+        (clusters, textline outlines) — the outlines ride along on
+        PageResult so layout assembly never recomputes them."""
         if not self.cluster_paragraphs or len(b_list) == 0:
-            return None
+            return None, None
         from pero_ocr_tpu.layout_engines import helpers
 
-        t_list = [
-            helpers.baseline_to_textline(np.asarray(b), h)
-            for b, h in zip(b_list, h_list)
-        ]
-        clusters = self._clusterer.make_clusters(
-            [np.asarray(b) for b in b_list], h_list, t_list, sep_map,
-            self.downsample if ds is None else ds, sep_pool=sep_pool,
-        )
-        return list(np.asarray(clusters).tolist())
+        with stage_timer("pipeline/textlines"):
+            t_list = [
+                helpers.baseline_to_textline(np.asarray(b), h)
+                for b, h in zip(b_list, h_list)
+            ]
+        with stage_timer("pipeline/make_clusters"):
+            clusters = self._clusterer.make_clusters(
+                [np.asarray(b) for b in b_list], h_list, t_list, sep_map,
+                self.downsample if ds is None else ds, sep_pool=sep_pool,
+            )
+        return list(np.asarray(clusters).tolist()), t_list
 
     def _drain(self, entry, stage_timer):
         (ids_, geoms_, labels_dev, lengths_dev, confs_dev,
@@ -1697,12 +1711,13 @@ class TPUPagePipeline:
                 lidx = (
                     np.asarray(lidx_dev) if lidx_dev is not None else None
                 )
-        for slot, (i, (b_list, h_list, widths, clusters)) in enumerate(
-            zip(ids_, geoms_)
+        for slot, (i, (b_list, h_list, widths, clusters, tlines)) in (
+            enumerate(zip(ids_, geoms_))
         ):
             if widths is None or labels is None:
                 yield PageResult(
-                    i, b_list, h_list, None, None, None, clusters
+                    i, b_list, h_list, None, None, None, clusters,
+                    textlines=tlines,
                 )
             else:
                 yield PageResult(
@@ -1711,6 +1726,7 @@ class TPUPagePipeline:
                     confs[slot] if confs is not None else None,
                     lvals[slot] if lvals is not None else None,
                     lidx[slot] if lidx is not None else None,
+                    textlines=tlines,
                 )
 
     def _run_page(self, pages, lines_override, page_batch):
@@ -1790,10 +1806,10 @@ class TPUPagePipeline:
             labels_dev = lengths_dev = confs_dev = None
             lvals_dev = lidx_dev = None
             if max_n == 0:
-                geoms = [(b, h, None, c) for b, h, c in page_lines]
+                geoms = [(b, h, None, c, t) for b, h, c, t in page_lines]
             else:
                 geom3 = [
-                    self._geometry(b, h, n_slot) for b, h, _ in page_lines
+                    self._geometry(b, h, n_slot) for b, h, _, _ in page_lines
                 ]
                 with stage_timer("pipeline/stage_b"):
                     zeros_b = np.zeros(
@@ -1828,8 +1844,8 @@ class TPUPagePipeline:
                         structured_ok=structured_ok,
                     )
                 geoms = [
-                    (b, h, g[2], c)
-                    for (b, h, c), g in zip(page_lines, geom3)
+                    (b, h, g[2], c, t)
+                    for (b, h, c, t), g in zip(page_lines, geom3)
                 ]
 
             device_pages.pop(batch_idx, None)
@@ -1896,8 +1912,8 @@ class TPUPagePipeline:
                         grays, page_lines, n_slot, page_batch
                     )
                 geoms = [
-                    (b, h, w, c)
-                    for (b, h, c), w in zip(page_lines, widths_all)
+                    (b, h, w, c, t)
+                    for (b, h, c, t), w in zip(page_lines, widths_all)
                 ]
                 return ids, geoms, payload, n_slot
             with stage_timer("pipeline/host_warp"):
@@ -1908,7 +1924,7 @@ class TPUPagePipeline:
                 )
                 widths_flat = np.zeros(page_batch * n_slot, np.int32)
                 widths_all = []
-                for slot, (b_list, h_list, _) in enumerate(page_lines):
+                for slot, (b_list, h_list, *_) in enumerate(page_lines):
                     if b_list:
                         crop_stack[slot], w = self._host_crops(
                             grays[slot], b_list, h_list, n_slot
@@ -1920,8 +1936,8 @@ class TPUPagePipeline:
                     else:
                         widths_all.append(None)
             geoms = [
-                (b, h, w, c)
-                for (b, h, c), w in zip(page_lines, widths_all)
+                (b, h, w, c, t)
+                for (b, h, c, t), w in zip(page_lines, widths_all)
             ]
             if max_n == 0:
                 return ids, geoms, None, n_slot
@@ -2151,7 +2167,7 @@ class TPUPagePipeline:
                     )
                     widths_flat = np.zeros(page_batch * n_slot, np.int32)
                     widths_all = []
-                    for slot, (b_list, h_list, _) in enumerate(page_lines):
+                    for slot, (b_list, h_list, *_) in enumerate(page_lines):
                         if b_list:
                             crop_stack[slot], w = self._host_crops(
                                 grays[slot], b_list, h_list, n_slot
@@ -2173,8 +2189,8 @@ class TPUPagePipeline:
                         )
                     payload = (flat, widths_flat)
             geoms = [
-                (b, h, w, c)
-                for (b, h, c), w in zip(page_lines, widths_all)
+                (b, h, w, c, t)
+                for (b, h, c, t), w in zip(page_lines, widths_all)
             ]
             return ids, geoms, small, payload
 

@@ -39,25 +39,56 @@ def run_once(pages, pipe, override, pb):
     return time.perf_counter() - t0
 
 
+def run_once_full(pages, pipe, pb):
+    """The r4 headline loop: detection + recognition + PageLayout
+    assembly + Page XML bytes (bench.timed_run_full semantics), with
+    the consumer-side work stage-attributed."""
+    from pero_ocr_tpu.document.fast_pipeline import assemble_page_layout
+    from pero_ocr_tpu.utils.timing import stage_timer
+
+    page_list = [pages[i % len(pages)] for i in range(bench.BENCH_PAGES)]
+    t0 = time.perf_counter()
+    for r in pipe.run(page_list, page_batch=pb):
+        with stage_timer("consume/assemble"):
+            layout = assemble_page_layout(
+                r, f"p{r.page_index:04d}",
+                (bench.PAGE_H, bench.PAGE_W), bench.BENCH_CHARS,
+            )
+        with stage_timer("consume/xml"):
+            layout.to_pagexml_string()
+    return time.perf_counter() - t0
+
+
 def main():
     rng = np.random.default_rng(0)
     pages = [bench.make_page(rng) for _ in range(3)]
 
     head = bench.build_pipeline(TPUPagePipeline)
-    pn_vars = bench.trained_parsenet_variables(ParseNet(stem="s2d"), pages)
+    # Same detector (and ckpt cache entry) as bench.py main: trained on
+    # clean + noisy variants at every ladder scale.
+    noisy = bench.make_noisy(pages, np.random.default_rng(7))
+    pn_vars = bench.trained_parsenet_variables(
+        ParseNet(stem="s2d"), pages, noisy
+    )
     honest = bench.build_pipeline(TPUPagePipeline, pn_variables=pn_vars)
 
     bench.warm(pages, head, bench.page_lines)
-    bench.warm(pages, honest, None, bench.HONEST_PAGE_BATCH)
+    bench.warm(pages, honest, None, bench.HONEST_PAGE_BATCH,
+               n_pages=3 * bench.HONEST_PAGE_BATCH)
 
     for name, pipe, override in (
         ("override", head, bench.page_lines),
         ("honest", honest, None),
+        ("full(+assembly+xml)", honest, "FULL"),
     ):
         best = None
         for _ in range(3):
             GLOBAL_TIMING.reset()
-            t = run_once(pages, pipe, override, bench.HONEST_PAGE_BATCH)
+            if override == "FULL":
+                t = run_once_full(pages, pipe, bench.HONEST_PAGE_BATCH)
+            else:
+                t = run_once(pages, pipe, override,
+                             bench.HONEST_PAGE_BATCH)
             if best is None or t < best:
                 best = t
                 report = GLOBAL_TIMING.report()

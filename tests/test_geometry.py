@@ -67,6 +67,44 @@ class TestPolygonBasics:
         hull = geometry.convex_hull(pts)
         assert abs(geometry.polygon_area(shape)) < abs(geometry.polygon_area(hull))
 
+    def test_alpha_shape_edge_walk_exact_grid(self):
+        # A 10x10 unit grid with a permissive alpha keeps every
+        # triangle: the exact edge walk must return the 9x9 outer
+        # square (area exactly 81 — the raster path could only
+        # approximate this).
+        g = np.arange(10, dtype=float)
+        pts = np.stack(np.meshgrid(g, g), -1).reshape(-1, 2)
+        exact = geometry.alpha_shape(pts, alpha=0.5)
+        assert abs(abs(geometry.polygon_area(exact)) - 81.0) < 1e-9
+        inside = geometry.points_in_polygon(pts, exact)
+        dist = geometry.points_to_polygon_dist(pts[~inside], exact)
+        assert dist.max() < 1e-9  # boundary points, none exterior
+
+    def test_triangle_union_boundary_simple(self):
+        # Two triangles sharing an edge -> a quad outer ring, exact.
+        pts = np.array([[0, 0], [2, 0], [2, 2], [0, 2]], dtype=float)
+        tris = np.array([[0, 1, 2], [0, 2, 3]])
+        ring = geometry._triangle_union_boundary(pts, tris)
+        assert ring is not None
+        assert abs(abs(geometry.polygon_area(ring)) - 4.0) < 1e-9
+        assert len(ring) == 4
+
+    def test_triangle_union_boundary_pinch_falls_back(self):
+        # Two triangles sharing ONLY a vertex (bow tie): pinch -> None
+        # (caller rasterizes instead).
+        pts = np.array(
+            [[0, 0], [2, 0], [1, 1], [0, 2], [2, 2]], dtype=float
+        )
+        tris = np.array([[0, 1, 2], [2, 3, 4]])
+        assert geometry._triangle_union_boundary(pts, tris) is None
+
+    def test_points_to_polygon_dist(self):
+        d = geometry.points_to_polygon_dist(
+            np.array([[5.0, 5.0], [5.0, 0.0], [5.0, -3.0], [15.0, 5.0]]),
+            SQUARE,
+        )
+        np.testing.assert_allclose(d, [5.0, 0.0, 3.0, 5.0], atol=1e-9)
+
 
 class TestMaskPolyline:
     def test_fully_inside(self):

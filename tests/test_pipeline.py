@@ -934,7 +934,9 @@ class TestStageATransport:
             pages, [0, 1, 2],
             None, pipeline._unpack_stage_a(packed, heights_q, sep_q), 2,
         )
-        for (b_a, h_a, c_a), (b_b, h_b, c_b) in zip(via_packed, via_tuple):
+        for (b_a, h_a, c_a, t_a), (b_b, h_b, c_b, t_b) in zip(
+            via_packed, via_tuple
+        ):
             assert len(b_a) == len(b_b)
             for x, y in zip(b_a, b_b):
                 np.testing.assert_array_equal(x, y)
@@ -943,6 +945,9 @@ class TestStageATransport:
             assert (c_a is None) == (c_b is None)
             if c_a is not None:
                 np.testing.assert_array_equal(c_a, c_b)
+            if t_a is not None:
+                for x, y in zip(t_a, t_b):
+                    np.testing.assert_array_equal(x, y)
 
         assert pipeline._adapt_artifacts(arts, 2) == pipeline._adapt_target_ds(
             pipeline._unpack_stage_a(packed, heights_q, sep_q), 2
@@ -1250,12 +1255,13 @@ class TestParagraphClustering:
         hh = [[12.0, 4.0], [12.0, 4.0]]
 
         sep_clear = np.zeros((64, 64), np.float32)
-        clusters = pipeline._cluster_lines(bl, hh, sep_clear)
+        clusters, t_list = pipeline._cluster_lines(bl, hh, sep_clear)
         assert clusters == [0, 0]
+        assert len(t_list) == 2   # outlines ride along for assembly
 
         sep_wall = np.zeros((64, 64), np.float32)
         sep_wall[14:17, :] = 1.0   # separator row between y=40/4 and 80/4
-        clusters = pipeline._cluster_lines(bl, hh, sep_wall)
+        clusters, _ = pipeline._cluster_lines(bl, hh, sep_wall)
         assert clusters is not None
         assert clusters[0] != clusters[1]
 
