@@ -335,17 +335,19 @@ def _triangle_union_boundary(
     flip = cross < 0
     t[flip, 1], t[flip, 2] = tris[flip, 2], tris[flip, 1]
     edges = np.concatenate([t[:, [0, 1]], t[:, [1, 2]], t[:, [2, 0]]])
-    eset = set(map(tuple, edges.tolist()))
-    if len(eset) != len(edges):  # duplicate directed edge: degenerate
+    n = int(edges.max()) + 1
+    code = edges[:, 0].astype(np.int64) * n + edges[:, 1]
+    if len(np.unique(code)) != len(code):  # duplicate directed edge
         return None
-    boundary = [(u, v) for (u, v) in eset if (v, u) not in eset]
+    rcode = edges[:, 1].astype(np.int64) * n + edges[:, 0]
+    on_boundary = ~np.isin(code, rcode)
+    boundary = edges[on_boundary]
     if len(boundary) < 3:
         return None
-    succ = {}
-    for u, v in boundary:
-        if u in succ:   # pinch vertex: two rings meet — raster fallback
-            return None
-        succ[u] = v
+    starts = boundary[:, 0]
+    if len(np.unique(starts)) != len(starts):
+        return None    # pinch vertex: two rings meet — raster fallback
+    succ = dict(zip(starts.tolist(), boundary[:, 1].tolist()))
 
     best_poly, best_area = None, 0.0
     remaining = dict(succ)
@@ -396,13 +398,17 @@ def alpha_shape(points: np.ndarray, alpha: float) -> np.ndarray:
     a = pts[simplices[:, 0]]
     b = pts[simplices[:, 1]]
     c = pts[simplices[:, 2]]
-    la = np.linalg.norm(b - c, axis=1)
-    lb = np.linalg.norm(a - c, axis=1)
-    lc = np.linalg.norm(a - b, axis=1)
-    s = (la + lb + lc) / 2.0
-    area = np.sqrt(np.maximum(s * (s - la) * (s - lb) * (s - lc), 1e-12))
-    circum_r = la * lb * lc / (4.0 * area)
-    keep = circum_r < 1.0 / max(alpha, 1e-9)
+    # circumradius r = la*lb*lc / (4*area) < 1/alpha, evaluated in
+    # squares (no sqrt, area from the cross product): r^2 < t^2  <=>
+    # la2*lb2*lc2 < 4*cross^2*t^2.  Degenerate (zero-area) triangles
+    # fail the strict inequality, same as the heron-floor form did.
+    ab, ac, bc = b - a, c - a, c - b
+    la2 = (bc * bc).sum(1)
+    lb2 = (ac * ac).sum(1)
+    lc2 = (ab * ab).sum(1)
+    cross = ab[:, 0] * ac[:, 1] - ab[:, 1] * ac[:, 0]
+    t = 1.0 / max(alpha, 1e-9)
+    keep = la2 * lb2 * lc2 < 4.0 * (cross * cross) * (t * t)
     if not keep.any():
         return convex_hull(pts)
 

@@ -39,6 +39,7 @@ from typing import Iterable, Iterator, List, Tuple
 
 import numpy as np
 
+from pero_ocr_tpu.core import geometry
 from pero_ocr_tpu.core.layout import PageLayout, RegionLayout, TextLine
 from pero_ocr_tpu.layout_engines import helpers
 
@@ -60,6 +61,14 @@ def assemble_page_layout(result, page_id, page_size, characters,
     layout = PageLayout(id=page_id, page_size=page_size)
     n_emit = len(characters) if n_emit is None else n_emit
 
+    # The pipeline's host worker already built the outlines for
+    # paragraph clustering; reuse them (batched rebuild otherwise).
+    textlines = result.textlines
+    if textlines is None and result.baselines:
+        textlines = helpers.baselines_to_textlines(
+            result.baselines, result.heights
+        )
+
     lines = []
     for i, (baseline, heights) in enumerate(
         zip(result.baselines, result.heights)
@@ -68,15 +77,7 @@ def assemble_page_layout(result, page_id, page_size, characters,
             index=i,
             baseline=np.asarray(baseline),
             heights=list(heights),
-            # The pipeline's host worker already built the outline for
-            # paragraph clustering; reuse it.
-            polygon=(
-                result.textlines[i]
-                if result.textlines is not None
-                else helpers.baseline_to_textline(
-                    np.asarray(baseline), heights
-                )
-            ),
+            polygon=textlines[i],
         )
         if result.labels is not None and i < result.labels.shape[0]:
             n = int(result.label_lengths[i])
@@ -108,11 +109,13 @@ def assemble_page_layout(result, page_id, page_size, characters,
             continue
         if members:
             try:
-                # Same alpha-shape outline the stage-by-stage engine
-                # uses (helpers.region_from_textlines).
+                # Same alpha-shape outline + Douglas-Peucker simplify
+                # the stage-by-stage engine uses (reference:
+                # cnn_layout_engine.py:301-328 simplify tolerance 5).
                 poly = helpers.region_from_textlines(
                     [ln.polygon for ln in members]
                 )
+                poly = geometry.simplify_polygon(poly, 5)
                 if len(poly) < 3:
                     raise ValueError("degenerate region")
             except Exception:

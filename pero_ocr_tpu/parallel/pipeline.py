@@ -1680,10 +1680,7 @@ class TPUPagePipeline:
         from pero_ocr_tpu.layout_engines import helpers
 
         with stage_timer("pipeline/textlines"):
-            t_list = [
-                helpers.baseline_to_textline(np.asarray(b), h)
-                for b, h in zip(b_list, h_list)
-            ]
+            t_list = helpers.baselines_to_textlines(b_list, h_list)
         with stage_timer("pipeline/make_clusters"):
             clusters = self._clusterer.make_clusters(
                 [np.asarray(b) for b in b_list], h_list, t_list, sep_map,
