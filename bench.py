@@ -270,6 +270,15 @@ def build_pipeline(cls, transport_bits=4, pn_variables=None):
         parsenet, pn_params, recognizer, rec_params,
         downsample=4, crop_bucket=1024, line_slot=N_TEXT_ROWS,
         transport="crops", transport_bits=transport_bits,
+        # The reference's TorchParseNet adapts its resolution
+        # unconditionally (torch_parsenet.py:60-93); config-2 semantics
+        # require it.  On these pages the 26 px ascenders read 6.5 map
+        # px at ds 4 (below the [9, 15] band), so the full loop's
+        # steady state is ds 2 — the 4x canvas upload is part of the
+        # honest cost (CLAUDE.md).  r1-r4 bench builds left this OFF
+        # (pipeline default False), so their "honest" captures ran a
+        # fixed ds-4 first pass only.
+        adaptive_downsample=True,
     )
 
 
@@ -296,21 +305,42 @@ def timed_run_full(pages, pipeline, page_batch=HONEST_PAGE_BATCH):
     PageLayout assembly (alpha-shape region polygons) -> Page XML bytes.
     This is exactly what `parse_folder.py --fast-pipeline` produces per
     page, minus the disk write.  Returns (elapsed_s, total_xml_bytes,
-    total_lines)."""
+    total_lines).
+
+    Assembly+XML run in ONE consumer thread overlapped with the
+    pipeline's wire waits (the tunnel fetch releases the GIL during
+    its RTT stalls) — consuming inline between yields instead was
+    measured to cost ~2x the work's uncontended time because it
+    displaces the prep/warp worker overlap (scripts/exp_consume_ab.py:
+    inline 16.0 pages/s vs 18.9 deferred vs 21.9 discard-only, same
+    weather).  Every page's XML is still fully materialized inside the
+    timed window."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from pero_ocr_tpu.document.fast_pipeline import assemble_page_layout
 
     page_list = [pages[i % len(pages)] for i in range(BENCH_PAGES)]
-    n_bytes = n_lines = 0
-    t0 = time.perf_counter()
-    for result in pipeline.run(page_list, page_batch=page_batch):
+
+    def consume(result):
         layout = assemble_page_layout(
             result, f"p{result.page_index:04d}", (PAGE_H, PAGE_W),
             BENCH_CHARS,
         )
-        xml = layout.to_pagexml_string()
-        n_bytes += len(xml)
-        n_lines += len(result.baselines)
-    return time.perf_counter() - t0, n_bytes, n_lines
+        return len(layout.to_pagexml_string()), len(result.baselines)
+
+    n_bytes = n_lines = 0
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        t0 = time.perf_counter()
+        futures = [
+            pool.submit(consume, result)
+            for result in pipeline.run(page_list, page_batch=page_batch)
+        ]
+        for f in futures:
+            b, n = f.result()
+            n_bytes += b
+            n_lines += n
+        elapsed = time.perf_counter() - t0
+    return elapsed, n_bytes, n_lines
 
 
 def warm(pages, pipeline, lines_override, page_batch=PAGE_BATCH,

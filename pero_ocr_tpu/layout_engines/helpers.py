@@ -164,7 +164,14 @@ def region_from_textlines(region_textlines) -> np.ndarray:
 
     # geometry.alpha_shape keeps triangles with circumradius < 1/alpha;
     # the reference keeps circumradius <= max_spacing.
-    poly = geometry.alpha_shape(points, alpha=1.0 / max(max_spacing, 1e-6))
+    poly, covers_all = geometry.alpha_shape_info(
+        points, alpha=1.0 / max(max_spacing, 1e-6)
+    )
+    if covers_all:
+        # Single-ring union with every input point a kept-triangle
+        # vertex: containment holds by construction (the common
+        # paragraph case) — skip the straggler scan.
+        return poly
 
     # Ensure every textline is inside; union in the stragglers.  The
     # containment test counts boundary contact as inside (shapely
