@@ -229,6 +229,12 @@ class LayoutExtractor:
             # these in; in-framework-trained checkpoints declare them).
             base_features=config.getint("BASE_FEATURES", fallback=32),
             depth=config.getint("DEPTH", fallback=4),
+            # OUT_UPSAMPLE=2 -> super-resolving head: maps at 2x the
+            # canvas resolution, so the DOWNSAMPLE/adaptation band
+            # semantics hold while the canvas (and in --fast-pipeline
+            # the canvas UPLOAD) shrinks 4x.  Needs a matching
+            # checkpoint (models/parsenet.ParseNet.out_upsample).
+            out_upsample=config.getint("OUT_UPSAMPLE", fallback=1),
         )
 
     def process_page(self, img, page_layout: PageLayout) -> PageLayout:

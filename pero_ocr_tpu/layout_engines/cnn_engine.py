@@ -109,6 +109,7 @@ class LayoutEngine:
         stem: str = "conv",
         base_features: int = 32,
         depth: int = 4,
+        out_upsample: int = 1,
     ):
         self.parsenet = ParseNetWrapper(
             model_path,
@@ -119,6 +120,7 @@ class LayoutEngine:
             stem=stem,
             base_features=base_features,
             depth=depth,
+            out_upsample=out_upsample,
         )
         self.line_end_weight = line_end_weight
         self.vertical_line_connection_range = vertical_line_connection_range

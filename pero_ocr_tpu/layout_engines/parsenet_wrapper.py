@@ -56,6 +56,7 @@ class ParseNetWrapper:
         base_features: int = 32,
         depth: int = 4,
         stem: str = "conv",
+        out_upsample: int = 1,
     ):
         self.detection_threshold = detection_threshold
         self.adaptive_downsample = adaptive_downsample
@@ -76,7 +77,8 @@ class ParseNetWrapper:
             self.variables = self.model.variables
         else:
             self.model = ParseNet(
-                base_features=base_features, depth=depth, stem=stem
+                base_features=base_features, depth=depth, stem=stem,
+                out_upsample=out_upsample,
             )
 
             def init_fn():
@@ -91,17 +93,22 @@ class ParseNetWrapper:
         )
 
     def get_maps(self, img: np.ndarray, downsample: float) -> np.ndarray:
-        """One inference pass at 1/downsample scale; returns (h, w, 5) maps
-        at the downsampled resolution (reference: torch_parsenet.py:37-58)."""
-        if downsample != 1:
+        """One inference pass at 1/downsample MAP scale; returns (h, w, 5)
+        maps at that resolution (reference: torch_parsenet.py:37-58).
+        Super-resolving models (ParseNet.out_upsample = U > 1) read a
+        1/(downsample*U) canvas and emit the same-scale maps — the
+        external contract is unchanged."""
+        up = int(getattr(self.model, "out_upsample", 1) or 1)
+        input_scale = downsample * up
+        if input_scale != 1:
             img = cv2.resize(
-                img, (0, 0), fx=1 / downsample, fy=1 / downsample,
+                img, (0, 0), fx=1 / input_scale, fy=1 / input_scale,
                 interpolation=cv2.INTER_AREA,
             )
         canvas, h, w = _pad_to_canvas(img)
         batch = (canvas[None].astype(np.float32)) / 255.0
         out = np.asarray(self._forward(jnp.asarray(batch)))[0]
-        return out[:h, :w]
+        return out[: h * up, : w * up]
 
     def get_maps_with_optimal_resolution(
         self, img: np.ndarray

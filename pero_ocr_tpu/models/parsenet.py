@@ -80,12 +80,24 @@ class ParseNet(nn.Module):
     dtype: Any = jnp.bfloat16
     stem: str = "conv"          # "conv" | "s2d"
     head_features: int = 8      # s2d full-res refinement width
+    # Super-resolving output head: emit maps at out_upsample x the INPUT
+    # resolution (thin transposed-conv levels at head_features).  With
+    # out_upsample=2 the detector reads a 1/2ds canvas but its maps —
+    # and therefore the adaptive-downsample band check, the CC parse,
+    # and every baseline coordinate — live at map scale ds, so the
+    # reference's [9, 15] map-px height band semantics
+    # (torch_parsenet.py:28-35) hold while the canvas UPLOAD and the
+    # U-Net body shrink 4x.  The capability trade (the net must resolve
+    # lines from half-band input px) is a training-time property; gate
+    # it like any detector swap: detection recall + height parity on
+    # held-out pages (tests/test_pipeline.py::test_sr_head_detection_parity).
+    out_upsample: int = 1
 
     @nn.compact
     def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
         """images: (N, H, W, 3) float32 in [0, 1]; H, W multiples of 2**depth.
 
-        Returns (N, H, W, 5) float32 maps."""
+        Returns (N, H * out_upsample, W * out_upsample, 5) float32 maps."""
         x = images.astype(self.dtype)
         skips = []
         if self.stem == "s2d":
@@ -124,6 +136,20 @@ class ParseNet(nn.Module):
             x = nn.relu(x)
             x = nn.Conv(self.head_features, (3, 3), dtype=self.dtype)(x)
             x = nn.relu(x)
+
+        up = self.out_upsample
+        if up & (up - 1) or up < 1:
+            raise ValueError(f"out_upsample={up} must be a power of two")
+        while up > 1:
+            # Super-resolving levels: same thin norm-free shape as the
+            # s2d head, one per octave above input resolution.
+            x = nn.ConvTranspose(
+                self.head_features, (2, 2), strides=(2, 2), dtype=self.dtype
+            )(x)
+            x = nn.relu(x)
+            x = nn.Conv(self.head_features, (3, 3), dtype=self.dtype)(x)
+            x = nn.relu(x)
+            up //= 2
 
         x = nn.Conv(self.out_channels, (1, 1), dtype=jnp.float32)(x)
         x = x.astype(jnp.float32)

@@ -231,6 +231,17 @@ class TPUPagePipeline:
         # skip_stage_a=True)); the stage-A closures are defined either
         # way but only dispatched when a layout stage exists.
         pn_apply = parsenet_model.apply if parsenet_model is not None else None
+        # Super-resolving detector heads (ParseNet.out_upsample > 1)
+        # emit maps at U x the canvas resolution.  Every scale in this
+        # pipeline (`downsample`, `_last_ds`, the adaptation ladder, CC
+        # coordinates, separator/heights maps) is the MAP scale; only
+        # the canvas itself is built U x coarser — so the honest loop's
+        # ds-2 steady state uploads a 1/(2U)-res canvas (1/U^2 the
+        # bytes) while the band semantics stay the reference's.
+        self.map_upsample = int(
+            getattr(parsenet_model, "out_upsample", 1) or 1
+        )
+        map_up = self.map_upsample
         rec_apply = recognizer_model.apply
         # Transformer recognizers (AR decode) are detected by their
         # decode_train entry point; CTC models run forward + greedy
@@ -340,12 +351,15 @@ class TPUPagePipeline:
             the device area-downsamples for ParseNet and broadcasts to
             the models' 3-channel input).  ``ds_run`` is static: the
             adaptive second pass re-dispatches the SAME uploaded pages at
-            a corrected integer scale (one compile per ladder entry)."""
+            a corrected integer scale (one compile per ladder entry).
+            ``ds_run`` is the MAP scale; the canvas downsamples by
+            ds_run * map_up (SR heads read a coarser canvas)."""
+            dc = ds_run * map_up
             x = pages_u8.astype(jnp.float32)[..., None]  # (PB, H, W, 1)
             small = jax.lax.reduce_window(
-                x, 0.0, jax.lax.add, (1, ds_run, ds_run, 1),
-                (1, ds_run, ds_run, 1), "VALID"
-            ) / (ds_run * ds_run)
+                x, 0.0, jax.lax.add, (1, dc, dc, 1),
+                (1, dc, dc, 1), "VALID"
+            ) / (dc * dc)
             # Pad to multiples of 64 for the U-Net.
             h64 = int(np.ceil(small.shape[1] / 64) * 64)
             w64 = int(np.ceil(small.shape[2] / 64) * 64)
@@ -790,11 +804,14 @@ class TPUPagePipeline:
         return cv2.cvtColor(page, cv2.COLOR_BGR2GRAY)
 
     def _canvas(self, page: np.ndarray, ds: Optional[int] = None) -> np.ndarray:
+        """1/(ds * map_upsample)-res layout canvas for MAP scale ``ds``
+        (identical scales when the detector has no SR head)."""
         import cv2
 
         ds = self.downsample if ds is None else ds
+        dc = ds * self.map_upsample
         small = cv2.resize(
-            page, (0, 0), fx=1 / ds, fy=1 / ds, interpolation=cv2.INTER_AREA
+            page, (0, 0), fx=1 / dc, fy=1 / dc, interpolation=cv2.INTER_AREA
         )
         h = int(np.ceil(small.shape[0] / 64) * 64)
         w = int(np.ceil(small.shape[1] / 64) * 64)
