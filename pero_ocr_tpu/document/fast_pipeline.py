@@ -368,36 +368,67 @@ class FastPagePipeline:
                 self._attach_line_result(line, result, i, gray)
             yield layouts[result.page_index]
 
+    def _consume_result(self, result, pages, page_ids) -> PageLayout:
+        """Assemble one PageResult into a PageLayout (runs on the
+        single consumer worker of :meth:`process_pages`)."""
+        page = pages[result.page_index]
+        gray = self.pipeline._gray(page) if self.want_crops else None
+
+        def line_hook(line, i):
+            # Crop warp (3-channel for the crop-output/LMDB
+            # writers) + optional sparse logits; transcription and
+            # confidence come from the shared assembler.
+            if gray is not None:
+                crop = self.pipeline._host_crop_line(
+                    gray, np.asarray(line.baseline, float),
+                    line.heights,
+                )
+                line.crop = np.repeat(crop[:, :, None], 3, axis=2)
+            if (
+                result.logits_vals is not None
+                and result.labels is not None
+                and i < result.labels.shape[0]
+            ):
+                self._attach_logits(line, result, i)
+
+        return assemble_page_layout(
+            result,
+            page_ids[result.page_index],
+            (page.shape[0], page.shape[1]),
+            self.characters,
+            n_emit=self._n_emit,
+            line_hook=line_hook,
+        )
+
     def process_pages(
         self, pages: Iterable[np.ndarray], page_ids: List[str]
     ) -> Iterator[PageLayout]:
+        """Stream assembled PageLayouts in page order.
+
+        PageLayout assembly + outline geometry run in ONE worker thread
+        overlapped with the pipeline's wire waits (the tunnel fetch
+        releases the GIL during its RTT stalls); consuming inline
+        between pipeline yields instead displaces the prep/warp worker
+        overlap on the 1-core host and was measured ~15% slower
+        (scripts/exp_consume_ab.py mode D vs B).  A bounded pending
+        window keeps the stream lazy (memory stays O(page_batch)), so
+        the CLI's disk writes also overlap the next batch's wire time.
+        This is the exact consumer shape bench.timed_run_full times."""
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
         pages = list(pages)
-        for result in self.pipeline.run(pages, page_batch=self.page_batch):
-            page = pages[result.page_index]
-            gray = self.pipeline._gray(page) if self.want_crops else None
-
-            def line_hook(line, i):
-                # Crop warp (3-channel for the crop-output/LMDB
-                # writers) + optional sparse logits; transcription and
-                # confidence come from the shared assembler.
-                if gray is not None:
-                    crop = self.pipeline._host_crop_line(
-                        gray, np.asarray(line.baseline, float),
-                        line.heights,
-                    )
-                    line.crop = np.repeat(crop[:, :, None], 3, axis=2)
-                if (
-                    result.logits_vals is not None
-                    and result.labels is not None
-                    and i < result.labels.shape[0]
-                ):
-                    self._attach_logits(line, result, i)
-
-            yield assemble_page_layout(
-                result,
-                page_ids[result.page_index],
-                (page.shape[0], page.shape[1]),
-                self.characters,
-                n_emit=self._n_emit,
-                line_hook=line_hook,
-            )
+        window = max(2 * self.page_batch, 4)
+        pending = deque()
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            for result in self.pipeline.run(
+                pages, page_batch=self.page_batch
+            ):
+                pending.append(
+                    pool.submit(self._consume_result, result, pages,
+                                page_ids)
+                )
+                while len(pending) > window:
+                    yield pending.popleft().result()
+            while pending:
+                yield pending.popleft().result()

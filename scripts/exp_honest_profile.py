@@ -25,7 +25,6 @@ from pero_ocr_tpu.utils.jax_setup import configure
 configure()
 
 import bench
-from pero_ocr_tpu.models.parsenet import ParseNet
 from pero_ocr_tpu.parallel.pipeline import TPUPagePipeline
 from pero_ocr_tpu.utils.timing import GLOBAL_TIMING
 
@@ -68,7 +67,7 @@ def main():
     # clean + noisy variants at every ladder scale.
     noisy = bench.make_noisy(pages, np.random.default_rng(7))
     pn_vars = bench.trained_parsenet_variables(
-        ParseNet(stem="s2d"), pages, noisy
+        bench.bench_parsenet(), pages, noisy
     )
     honest = bench.build_pipeline(TPUPagePipeline, pn_variables=pn_vars)
 

@@ -16,7 +16,6 @@ from pero_ocr_tpu.utils.jax_setup import configure
 configure()
 
 import bench
-from pero_ocr_tpu.models.parsenet import ParseNet
 from pero_ocr_tpu.parallel.pipeline import TPUPagePipeline
 from pero_ocr_tpu.utils.timing import GLOBAL_TIMING, timing_report
 
@@ -36,7 +35,7 @@ def run_once(pipeline, pages, pb, lag):
 def main():
     rng = np.random.default_rng(0)
     pages = [bench.make_page(rng) for _ in range(3)]
-    pn_vars = bench.trained_parsenet_variables(ParseNet(stem="s2d"), pages)
+    pn_vars = bench.trained_parsenet_variables(bench.bench_parsenet(), pages)
     pipeline = bench.build_pipeline(TPUPagePipeline, pn_variables=pn_vars)
 
     variants = [(4, 2), (4, 1), (8, 2), (8, 1)]
