@@ -14,10 +14,15 @@ models expose, translating conventions:
 - ParseNet binaries return ``(out_map, extra)`` tuples
   (torch_parsenet.py:51) — the adapter keeps element 0 and returns NHWC
   maps;
-- recognizer binaries return ``(N, T, C)`` logits; the adapter probes a
-  dummy forward once to measure the width subsampling and class count
-  and synthesizes a :class:`RecognizerSpec` so the batching engine and
-  the fast pipeline treat the converted model exactly like a native one.
+- recognizer binaries return frame logits in EITHER layout — the
+  reference's exported checkpoints emit ``(N, C, T)``
+  (pytorch_ocr_engine.py:13-34 argmaxes dim 1 and permutes ``(0, 2, 1)``
+  afterwards), while natively-distilled graphs emit ``(N, T, C)``.  The
+  adapter probes TWO dummy widths: the axis that scales with the input
+  width is the frame axis, which also yields the width subsampling and
+  class count; a :class:`RecognizerSpec` is synthesized so the batching
+  engine and the fast pipeline treat the converted model exactly like a
+  native one (``apply`` always returns ``(N, T, C)``).
 
 ``variables`` is the flat ``{attr.path: array}`` dict from the
 converter — a plain pytree, so the wrapped apply jits and shards like
@@ -97,25 +102,45 @@ class TSRecognizerModel:
 
         self._fn, self.params = ts_to_jax(ts_module)
         self._embed = embed_num > 0
-        # One dummy forward measures subsampling + charset width.
-        dummy = np.zeros((1, 3, line_height, probe_width), np.float32)
-        args = (dummy,)
-        if self._embed:
-            args = (dummy, np.zeros((1,), np.int64))
-        out = np.asarray(self._fn(self.params, *args))
-        if out.ndim != 3:
+
+        def probe(width):
+            dummy = np.zeros((1, 3, line_height, width), np.float32)
+            args = (dummy,)
+            if self._embed:
+                args = (dummy, np.zeros((1,), np.int64))
+            out = np.asarray(self._fn(self.params, *args))
+            if out.ndim != 3:
+                raise ValueError(
+                    f"recognizer graph returned shape {out.shape}; "
+                    "expected 3-D frame logits"
+                )
+            return out.shape
+
+        # Two probe widths disambiguate the logits layout: the axis
+        # that scales with the input width is the frame axis.  The
+        # reference's exported checkpoints are (N, C, T)
+        # (pytorch_ocr_engine.py:59-74); distilled graphs are (N, T, C).
+        s1, s2 = probe(probe_width), probe(probe_width + 32)
+        if s1[1] != s2[1] and s1[2] == s2[2]:
+            self._frames_last = False          # (N, T, C)
+            t1, classes = s1[1], s1[2]
+        elif s1[2] != s2[2] and s1[1] == s2[1]:
+            self._frames_last = True           # (N, C, T)
+            t1, classes = s1[2], s1[1]
+        else:
             raise ValueError(
-                f"recognizer graph returned shape {out.shape}; expected "
-                "(N, T, C) logits"
+                f"cannot identify the frame axis of recognizer logits "
+                f"(probe shapes {s1} at width {probe_width}, {s2} at "
+                f"{probe_width + 32})"
             )
-        sub = probe_width / out.shape[1]
+        sub = probe_width / t1
         if not float(sub).is_integer():
             raise ValueError(
                 f"non-integer width subsampling {sub} "
-                f"(probe width {probe_width} -> {out.shape[1]} frames)"
+                f"(probe width {probe_width} -> {t1} frames)"
             )
         self.spec = TSRecognizerSpec(
-            num_classes=int(out.shape[2]),
+            num_classes=int(classes),
             line_height=line_height,
             subsampling=int(sub),
             embed_num=embed_num,
@@ -144,5 +169,9 @@ class TSRecognizerModel:
         if self._embed:
             if embed_ids is None:
                 embed_ids = jnp.zeros((images.shape[0],), jnp.int32)
-            return self._fn(variables, x, embed_ids)
-        return self._fn(variables, x)
+            out = self._fn(variables, x, embed_ids)
+        else:
+            out = self._fn(variables, x)
+        if self._frames_last:  # (N, C, T) reference layout
+            out = jnp.transpose(out, (0, 2, 1))
+        return out
