@@ -400,6 +400,14 @@ class FastPagePipeline:
             line_hook=line_hook,
         )
 
+    def prime(self, first_pages) -> None:
+        """Start the first batch's host prep (grayscale/canvas/pack) in
+        the background; call as soon as the leading ``page_batch``
+        images are decoded, while the caller is still loading the rest.
+        :meth:`process_pages` must then be called with a page list whose
+        leading elements are these same arrays."""
+        self.pipeline.prime(first_pages, self.page_batch)
+
     def process_pages(
         self, pages: Iterable[np.ndarray], page_ids: List[str]
     ) -> Iterator[PageLayout]:

@@ -546,9 +546,19 @@ def main():
             want_crops=bool(output_line_path),
             reocr=fast_reocr,
         )
+        # Decode the first batch, start its host prep in the background
+        # (pipeline.prime), then decode the rest — batch-0 prep overlaps
+        # the remaining imreads instead of serializing before the first
+        # dispatch.
         images = [
             cv2.imread(os.path.join(input_image_path, f), 1)
-            for f in images_to_process
+            for f in images_to_process[: fast.page_batch]
+        ]
+        if not fast_reocr:  # the override loop preps differently
+            fast.prime(images)
+        images += [
+            cv2.imread(os.path.join(input_image_path, f), 1)
+            for f in images_to_process[fast.page_batch :]
         ]
         if fast_reocr:
             input_layouts = []

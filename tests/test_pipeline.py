@@ -1492,6 +1492,44 @@ class TestParagraphClustering:
             assert r.clusters is None
 
 
+class TestPrime:
+    """pipeline.prime() pre-runs batch-0 host prep on a background
+    thread; run() must pick the future up (same leading pages, same
+    batch size) and produce byte-identical results, and must IGNORE a
+    stale primed state (different pages)."""
+
+    def test_primed_run_identical(self):
+        pipe = _tiny_pipeline(transport="crops", transport_bits=4)
+        pages = synthetic_pages(4)
+        base = list(pipe.run(pages, page_batch=2))
+
+        pipe.prime(pages, page_batch=2)
+        assert pipe._primed is not None
+        primed = list(pipe.run(pages, page_batch=2))
+        assert pipe._primed is None  # consumed
+        assert len(primed) == len(base)
+        for a, b in zip(base, primed):
+            assert len(a.baselines) == len(b.baselines)
+            np.testing.assert_array_equal(
+                np.asarray(a.labels), np.asarray(b.labels)
+            )
+
+    def test_stale_prime_ignored(self):
+        pipe = _tiny_pipeline(transport="crops", transport_bits=4)
+        pages = synthetic_pages(4)
+        other = synthetic_pages(2)
+        list(pipe.run(pages, page_batch=2))  # warm
+
+        pipe.prime(other, page_batch=2)  # different pages
+        out = list(pipe.run(pages, page_batch=2))
+        assert len(out) == 4  # fresh prep path, not the stale future
+
+    def test_prime_noop_on_page_transport(self):
+        pipe = _tiny_pipeline(transport="page")
+        pipe.prime(synthetic_pages(2), page_batch=2)
+        assert getattr(pipe, "_primed", None) is None
+
+
 def _tiny_pipeline(**kw):
     parsenet = ParseNet(base_features=4, depth=2)
     pn_params = parsenet.init(
