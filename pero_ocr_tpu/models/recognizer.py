@@ -39,6 +39,7 @@ class RecognizerSpec:
     embed_dim: int = 64
     dtype: Any = jnp.bfloat16
     stem: str = "conv"             # "s2d" = space-to-depth fast stem
+    norm: str = "none"             # "group" = GroupNorm after each conv
 
     @staticmethod
     def from_json_dict(cfg: dict, num_classes: int) -> "RecognizerSpec":
@@ -57,6 +58,7 @@ class RecognizerSpec:
             embed_dim=spec.get("embed_dim", 64),
             dtype=dtype,
             stem=spec.get("stem", "conv"),
+            norm=spec.get("norm", "none"),
         )
 
 
@@ -88,10 +90,32 @@ class VGGEncoder(nn.Module):
 
             x = space_to_depth(x, 2)
             w_done = 1
+        # He init for the ReLU stack: with the flax default (lecun),
+        # each ReLU layer shrinks activation variance ~2x, and at this
+        # depth (9 conv layers) the encoder output lands at ~0.02 scale
+        # — the conv gradients become noise next to the BLSTM/bias path
+        # and CTC training collapses to the input-independent marginal
+        # distribution (measured: round-5 training experiments).  Tied
+        # to norm="group" (the deep trainable config) so legacy
+        # norm-free specs keep their exact training trajectories.
+        if sp.norm == "group":
+            kinit = nn.initializers.he_normal()
+        else:
+            kinit = nn.initializers.lecun_normal()  # the flax default
+
+        def maybe_norm(x, feat):
+            if sp.norm == "group":
+                return nn.GroupNorm(
+                    num_groups=min(8, feat), dtype=dtype
+                )(x)
+            return x
+
         for i, feat in enumerate(sp.conv_features):
-            x = nn.Conv(feat, (3, 3), dtype=dtype)(x)
+            x = nn.Conv(feat, (3, 3), dtype=dtype, kernel_init=kinit)(x)
+            x = maybe_norm(x, feat)
             x = nn.relu(x)
-            x = nn.Conv(feat, (3, 3), dtype=dtype)(x)
+            x = nn.Conv(feat, (3, 3), dtype=dtype, kernel_init=kinit)(x)
+            x = maybe_norm(x, feat)
             x = nn.relu(x)
             stride_w = 2 if i + w_done < w_sub_blocks else 1
             x = nn.max_pool(x, (2, 2), strides=(2, stride_w), padding="SAME")
@@ -99,8 +123,10 @@ class VGGEncoder(nn.Module):
         # Collapse remaining height with a full-height conv.
         h = x.shape[1]
         x = nn.Conv(
-            sp.conv_features[-1], (h, 1), padding="VALID", dtype=dtype
+            sp.conv_features[-1], (h, 1), padding="VALID", dtype=dtype,
+            kernel_init=kinit,
         )(x)
+        x = maybe_norm(x, sp.conv_features[-1])
         x = nn.relu(x)
         return x[:, 0]  # (N, W', F)
 

@@ -159,6 +159,42 @@ class TestCTCRecognizer:
         assert spec.subsampling == 8
         assert spec.embed_num == 3
         assert spec.num_classes == 50
+        assert spec.norm == "none"  # old JSONs keep the norm-free tree
+
+    def test_group_norm_encoder(self):
+        """norm="group" keeps the frame-rate contract, loads from JSON,
+        and trains (the deep norm-free encoder collapses CTC training
+        to the input-independent marginal at (48..384)x2x256 scale —
+        measured in the round-5 bench-recognizer experiments)."""
+        from pero_ocr_tpu.parallel import train as train_lib
+
+        cfg = {"net_spec": {"conv_features": [4, 8], "subsampling": 4,
+                            "lstm_layers": 1, "lstm_features": 8,
+                            "stem": "s2d", "norm": "group"},
+               "line_px_height": 16}
+        spec = RecognizerSpec.from_json_dict(cfg, num_classes=8)
+        assert spec.norm == "group"
+        model = CTCRecognizer(spec)
+        x = jnp.zeros((2, 16, 64, 3), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), x)
+        out = model.apply(params, x)
+        assert out.shape == (2, 16, 8)
+
+        optimizer = train_lib.make_optimizer(3e-3)
+        state = train_lib.init_train_state(
+            model, optimizer, jax.random.PRNGKey(0), 16, width=64
+        )
+        step = jax.jit(train_lib.make_train_step(model, optimizer))
+        rng = np.random.default_rng(0)
+        images = jnp.asarray(rng.uniform(size=(4, 16, 64, 3)).astype(np.float32))
+        labels = jnp.asarray(rng.integers(0, 7, (4, 3)), jnp.int32)
+        lengths = jnp.full((4,), 3, jnp.int32)
+        losses = []
+        for _ in range(5):
+            state, loss = step(state, images, labels, lengths)
+            losses.append(float(loss))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
 
 
 class TestTransformerOCR:
