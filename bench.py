@@ -193,7 +193,7 @@ def trained_parsenet_variables(parsenet, pages, noisy_pages=None):
     up = int(getattr(parsenet, "out_upsample", 1) or 1)
     noisy_tag = "n" if noisy_pages is not None else ""
     key = hashlib.sha1(
-        f"bench-parsenet-v7ms{noisy_tag}-u{up}-{PAGE_H}x{PAGE_W}-"
+        f"bench-parsenet-v9ms{noisy_tag}-u{up}-{PAGE_H}x{PAGE_W}-"
         f"{N_TEXT_ROWS}-s2d".encode()
     ).hexdigest()[:16]
     cache_dir = os.path.expanduser("~/.cache/pero_test_ckpt")
@@ -231,12 +231,27 @@ def trained_parsenet_variables(parsenet, pages, noisy_pages=None):
             for b, (asc, desc) in zip(bl, hh):
                 y = int(b[0][1]) // ds
                 x0, x1 = int(b[0][0]) // ds, int(b[1][0]) // ds
-                tgt_pad[y, x0:x1, 2] = 1.0
-                y0 = max(y - int(asc // ds), 0)
-                tgt_pad[y0 : y + 1, x0:x1, 0] = asc / ds
-                tgt_pad[y0 : y + 1, x0:x1, 1] = desc / ds
-                tgt_pad[y, x0, 3] = 1.0
-                tgt_pad[y, x1 - 1, 3] = 1.0
+                # CANVAS-PIXEL-CONSISTENT targets: an SR head (up > 1)
+                # reads a canvas whose one pixel covers an up x up block
+                # of map pixels, so WHICH map row inside the block holds
+                # the baseline is information the model cannot recover
+                # from its input.  Painting a single row makes it hedge
+                # probability mass across the block's rows (measured:
+                # peak baseline prob ~0.2-0.4, right at the 0.2 detection
+                # threshold -> the post-NMS mask fragments into
+                # character-level runs and heights read ~35% high,
+                # stranding the adaptation ladder at ds 3).  Align every
+                # painted extent to up-blocks instead; the vertical NMS
+                # keeps value ties, so the up-row plateau survives as one
+                # connected component whose centroid is the baseline.
+                ya = (y // up) * up
+                xa0, xa1 = (x0 // up) * up, ((x1 + up - 1) // up) * up
+                tgt_pad[ya : ya + up, xa0:xa1, 2] = 1.0
+                y0 = (max(y - int(asc // ds), 0) // up) * up
+                tgt_pad[y0 : ya + up, xa0:xa1, 0] = asc / ds
+                tgt_pad[y0 : ya + up, xa0:xa1, 1] = desc / ds
+                tgt_pad[ya : ya + up, xa0 : xa0 + up, 3] = 1.0
+                tgt_pad[ya : ya + up, xa1 - up : xa1, 3] = 1.0
             images.append(
                 np.repeat(canvas[:, :, None], 3, 2).astype(np.float32) / 255.0
             )
@@ -269,7 +284,7 @@ def trained_parsenet_variables(parsenet, pages, noisy_pages=None):
     for steps, hw, ow in ((n_steps, 0.01, 0.0), (n_steps, 0.3, 0.05)):
         step = jax.jit(train_lib.make_parsenet_train_step(
             parsenet, optimizer, height_weight=hw,
-            off_mask_height_weight=ow,
+            off_mask_height_weight=ow, pos_weight=10.0,
         ))
         for i in range(steps):
             x, t = scales[i % len(scales)]

@@ -127,6 +127,7 @@ def parsenet_loss_fn(
     target_maps: jnp.ndarray,
     height_weight: float = 0.01,
     off_mask_height_weight: float = 0.0,
+    pos_weight: float = 1.0,
 ) -> jnp.ndarray:
     """images (B, H, W, 3); target_maps (B, H, W, 5) with channels
     [asc_height, desc_height, baseline, endpoint, separator]; heights
@@ -141,10 +142,16 @@ def parsenet_loss_fn(
     pred = model.apply(params, images)
     # The model emits post-sigmoid probabilities for the mask channels
     # (models/parsenet.py:92), so BCE operates in probability space.
+    # ``pos_weight`` scales the positive term: baseline/endpoint pixels
+    # are ~0.3% of the map, so a mean BCE lets a net park positives at
+    # p ~ 0.15 for almost no cost — under the inference threshold of
+    # 0.2 (measured on the SR-head bench detector; pos_weight ~ 10
+    # drives the on-line peaks to ~1 without moving the negatives).
     p = jnp.clip(pred[..., 2:5], 1e-6, 1.0 - 1e-6)
     mask_tgt = target_maps[..., 2:5]
     bce = -(
-        mask_tgt * jnp.log(p) + (1.0 - mask_tgt) * jnp.log(1.0 - p)
+        pos_weight * mask_tgt * jnp.log(p)
+        + (1.0 - mask_tgt) * jnp.log(1.0 - p)
     ).mean()
 
     on = target_maps[..., 2:3]
@@ -162,6 +169,7 @@ def parsenet_loss_fn(
 def make_parsenet_train_step(
     model, optimizer: optax.GradientTransformation,
     height_weight: float = 0.01, off_mask_height_weight: float = 0.0,
+    pos_weight: float = 1.0,
 ):
     def train_step(state: TrainState, images, target_maps):
         loss, grads = jax.value_and_grad(
@@ -169,6 +177,7 @@ def make_parsenet_train_step(
                 model, p, images, target_maps,
                 height_weight=height_weight,
                 off_mask_height_weight=off_mask_height_weight,
+                pos_weight=pos_weight,
             )
         )(state.params)
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
