@@ -193,7 +193,7 @@ def trained_parsenet_variables(parsenet, pages, noisy_pages=None):
     up = int(getattr(parsenet, "out_upsample", 1) or 1)
     noisy_tag = "n" if noisy_pages is not None else ""
     key = hashlib.sha1(
-        f"bench-parsenet-v9ms{noisy_tag}-u{up}-{PAGE_H}x{PAGE_W}-"
+        f"bench-parsenet-v10ms{noisy_tag}-u{up}-{PAGE_H}x{PAGE_W}-"
         f"{N_TEXT_ROWS}-s2d".encode()
     ).hexdigest()[:16]
     cache_dir = os.path.expanduser("~/.cache/pero_test_ckpt")
@@ -269,22 +269,37 @@ def trained_parsenet_variables(parsenet, pages, noisy_pages=None):
     scales = [scale_batch(ds, pages) for ds in (4, 2, 3)]
     if noisy_pages is not None:
         scales += [scale_batch(ds, noisy_pages) for ds in (4, 2, 3)]
-    optimizer = train_lib.make_optimizer(5e-3)
-    state = train_lib.TrainState(
-        template, optimizer.init(template), jnp.zeros((), jnp.int32)
-    )
-    # Two-phase schedule (measured on-chip): mask-focused first (strong
-    # height weights from scratch smother the detection channels), then
-    # height-pinning incl. off-mask (the postproc dilates + max-pools
-    # the height maps, so off-mask garbage otherwise leaks into the
-    # measured line heights).  Scales alternate within each phase (one
-    # compiled step per canvas shape).  Result: 40/40 lines at both
-    # scales, median asc within ~1% of target at each.
+    # Three-phase schedule (measured on-chip): mask-focused first
+    # (strong height weights from scratch smother the detection
+    # channels), then height-pinning incl. off-mask (the postproc
+    # dilates + max-pools the height maps, so off-mask garbage
+    # otherwise leaks into the measured line heights), then a low-lr
+    # settle phase with HARD-NEGATIVE weighting: at a constant 5e-3 the
+    # net parks a p 0.2-0.99 false-positive plateau on blank regions
+    # (pure-bias constant-input response; the (5, 3) connection
+    # dilation then fused the whole page into one component — 22/40
+    # lines detected, heights over-read, the adaptation ladder stuck at
+    # ds 4).  Scales alternate within each phase (one compiled step per
+    # canvas shape).
     n_steps = 900 if noisy_pages is None else 1080  # 180/canvas-entry
-    for steps, hw, ow in ((n_steps, 0.01, 0.0), (n_steps, 0.3, 0.05)):
+    state = train_lib.TrainState(
+        template, train_lib.make_optimizer(5e-3).init(template),
+        jnp.zeros((), jnp.int32),
+    )
+    phases = (
+        (n_steps, 0.01, 0.0, 5e-3, 0.0),
+        (n_steps, 0.3, 0.05, 5e-3, 4.0),
+        (n_steps, 0.3, 0.05, 5e-4, 8.0),
+    )
+    for steps, hw, ow, lr, hn in phases:
+        optimizer = train_lib.make_optimizer(lr)
+        state = train_lib.TrainState(
+            state.params, optimizer.init(state.params), state.step
+        )
         step = jax.jit(train_lib.make_parsenet_train_step(
             parsenet, optimizer, height_weight=hw,
             off_mask_height_weight=ow, pos_weight=10.0,
+            hard_neg_weight=hn,
         ))
         for i in range(steps):
             x, t = scales[i % len(scales)]

@@ -128,6 +128,7 @@ def parsenet_loss_fn(
     height_weight: float = 0.01,
     off_mask_height_weight: float = 0.0,
     pos_weight: float = 1.0,
+    hard_neg_weight: float = 0.0,
 ) -> jnp.ndarray:
     """images (B, H, W, 3); target_maps (B, H, W, 5) with channels
     [asc_height, desc_height, baseline, endpoint, separator]; heights
@@ -138,7 +139,18 @@ def parsenet_loss_fn(
     postprocess grey-DILATES the height maps and max-pools them to
     quarter resolution before sampling at baseline pixels
     (cnn_engine._postprocess_maps), so unconstrained off-mask garbage
-    from a lightly trained net leaks into the measured line heights."""
+    from a lightly trained net leaks into the measured line heights.
+
+    ``hard_neg_weight`` > 0 upweights NEGATIVE pixels predicted above
+    p = 0.15 (just under the inference threshold of 0.2).  A mean BCE
+    tolerates a broad false-positive plateau on blank regions — a
+    constant-input region's response is a pure bias term the optimizer
+    has little pressure to move (measured on the SR-head bench
+    detector: blank page bottoms and column gutters sat at p 0.2-0.99,
+    and the (5, 3) connection dilation fused every baseline into one
+    page-sized component).  Focusing extra weight on exactly the
+    over-threshold negatives removes the plateau without touching the
+    on-line peaks."""
     pred = model.apply(params, images)
     # The model emits post-sigmoid probabilities for the mask channels
     # (models/parsenet.py:92), so BCE operates in probability space.
@@ -149,9 +161,14 @@ def parsenet_loss_fn(
     # drives the on-line peaks to ~1 without moving the negatives).
     p = jnp.clip(pred[..., 2:5], 1e-6, 1.0 - 1e-6)
     mask_tgt = target_maps[..., 2:5]
+    neg_w = 1.0
+    if hard_neg_weight:
+        neg_w = 1.0 + hard_neg_weight * jax.lax.stop_gradient(
+            (p > 0.15).astype(p.dtype)
+        )
     bce = -(
         pos_weight * mask_tgt * jnp.log(p)
-        + (1.0 - mask_tgt) * jnp.log(1.0 - p)
+        + neg_w * (1.0 - mask_tgt) * jnp.log(1.0 - p)
     ).mean()
 
     on = target_maps[..., 2:3]
@@ -169,7 +186,7 @@ def parsenet_loss_fn(
 def make_parsenet_train_step(
     model, optimizer: optax.GradientTransformation,
     height_weight: float = 0.01, off_mask_height_weight: float = 0.0,
-    pos_weight: float = 1.0,
+    pos_weight: float = 1.0, hard_neg_weight: float = 0.0,
 ):
     def train_step(state: TrainState, images, target_maps):
         loss, grads = jax.value_and_grad(
@@ -178,6 +195,7 @@ def make_parsenet_train_step(
                 height_weight=height_weight,
                 off_mask_height_weight=off_mask_height_weight,
                 pos_weight=pos_weight,
+                hard_neg_weight=hard_neg_weight,
             )
         )(state.params)
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
