@@ -193,7 +193,7 @@ def trained_parsenet_variables(parsenet, pages, noisy_pages=None):
     up = int(getattr(parsenet, "out_upsample", 1) or 1)
     noisy_tag = "n" if noisy_pages is not None else ""
     key = hashlib.sha1(
-        f"bench-parsenet-v10ms{noisy_tag}-u{up}-{PAGE_H}x{PAGE_W}-"
+        f"bench-parsenet-v11ms{noisy_tag}-u{up}-{PAGE_H}x{PAGE_W}-"
         f"{N_TEXT_ROWS}-s2d".encode()
     ).hexdigest()[:16]
     cache_dir = os.path.expanduser("~/.cache/pero_test_ckpt")
@@ -286,12 +286,19 @@ def trained_parsenet_variables(parsenet, pages, noisy_pages=None):
         template, train_lib.make_optimizer(5e-3).init(template),
         jnp.zeros((), jnp.int32),
     )
+    # height_over_weight 4.0 in the height phases: the transport
+    # max-pools heights before the CC kernel samples them, so model
+    # noise ABOVE the (extent-constant) target inflates the median read
+    # one-sidedly.  Measured with symmetric L1: +2.25 map px at ds 4 /
+    # +4.6 at ds 3 — enough to steer the reference-band adaptation to a
+    # ds-3 steady state (13 phantom lines, heights +50%) instead of the
+    # semantically correct ds 2 (recall 1.000, 0 phantoms, +1 px).
     phases = (
-        (n_steps, 0.01, 0.0, 5e-3, 0.0),
-        (n_steps, 0.3, 0.05, 5e-3, 4.0),
-        (n_steps, 0.3, 0.05, 5e-4, 8.0),
+        (n_steps, 0.01, 0.0, 5e-3, 0.0, 1.0),
+        (n_steps, 0.3, 0.05, 5e-3, 4.0, 4.0),
+        (n_steps, 0.3, 0.05, 5e-4, 8.0, 4.0),
     )
-    for steps, hw, ow, lr, hn in phases:
+    for steps, hw, ow, lr, hn, hov in phases:
         optimizer = train_lib.make_optimizer(lr)
         state = train_lib.TrainState(
             state.params, optimizer.init(state.params), state.step
@@ -299,7 +306,7 @@ def trained_parsenet_variables(parsenet, pages, noisy_pages=None):
         step = jax.jit(train_lib.make_parsenet_train_step(
             parsenet, optimizer, height_weight=hw,
             off_mask_height_weight=ow, pos_weight=10.0,
-            hard_neg_weight=hn,
+            hard_neg_weight=hn, height_over_weight=hov,
         ))
         for i in range(steps):
             x, t = scales[i % len(scales)]

@@ -129,6 +129,7 @@ def parsenet_loss_fn(
     off_mask_height_weight: float = 0.0,
     pos_weight: float = 1.0,
     hard_neg_weight: float = 0.0,
+    height_over_weight: float = 1.0,
 ) -> jnp.ndarray:
     """images (B, H, W, 3); target_maps (B, H, W, 5) with channels
     [asc_height, desc_height, baseline, endpoint, separator]; heights
@@ -150,7 +151,19 @@ def parsenet_loss_fn(
     and the (5, 3) connection dilation fused every baseline into one
     page-sized component).  Focusing extra weight on exactly the
     over-threshold negatives removes the plateau without touching the
-    on-line peaks."""
+    on-line peaks.
+
+    ``height_over_weight`` > 1 penalizes height OVER-prediction that
+    many times harder than under-prediction (on- and off-mask alike).
+    The transport max-pools the height maps before the CC kernel
+    samples them at baseline pixels, and the targets are constant over
+    each painted extent — so a noiseless net reads exactly the target
+    through the pool, and any spatial noise ABOVE the target inflates
+    the read one-sidedly.  Measured on the SR-head bench detector: a
+    symmetric L1 left a +2.25 map-px median over-read at map ds 4
+    (lines are ~3 canvas px there), which steered the reference-band
+    adaptation ladder to ds 3 instead of the semantically correct
+    ds 2 and stuck it there (+4.6 map px at ds 3 reads in-band)."""
     pred = model.apply(params, images)
     # The model emits post-sigmoid probabilities for the mask channels
     # (models/parsenet.py:92), so BCE operates in probability space.
@@ -172,14 +185,15 @@ def parsenet_loss_fn(
     ).mean()
 
     on = target_maps[..., 2:3]
-    h_err = jnp.abs(pred[..., 0:2] - target_maps[..., 0:2]) * on
+    h_diff = pred[..., 0:2] - target_maps[..., 0:2]
+    h_abs = jnp.abs(h_diff)
+    if height_over_weight != 1.0:
+        h_abs = h_abs * jnp.where(h_diff > 0, height_over_weight, 1.0)
+    h_err = h_abs * on
     h_l1 = h_err.sum() / jnp.maximum(on.sum() * 2.0, 1.0)
     loss = bce + height_weight * h_l1
     if off_mask_height_weight:
-        h_off = (
-            jnp.abs(pred[..., 0:2] - target_maps[..., 0:2]) * (1.0 - on)
-        ).mean()
-        loss = loss + off_mask_height_weight * h_off
+        loss = loss + off_mask_height_weight * (h_abs * (1.0 - on)).mean()
     return loss
 
 
@@ -187,6 +201,7 @@ def make_parsenet_train_step(
     model, optimizer: optax.GradientTransformation,
     height_weight: float = 0.01, off_mask_height_weight: float = 0.0,
     pos_weight: float = 1.0, hard_neg_weight: float = 0.0,
+    height_over_weight: float = 1.0,
 ):
     def train_step(state: TrainState, images, target_maps):
         loss, grads = jax.value_and_grad(
@@ -196,6 +211,7 @@ def make_parsenet_train_step(
                 off_mask_height_weight=off_mask_height_weight,
                 pos_weight=pos_weight,
                 hard_neg_weight=hard_neg_weight,
+                height_over_weight=height_over_weight,
             )
         )(state.params)
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
